@@ -1,0 +1,64 @@
+"""Tokenizer — the engine's analog of the reference's text canonicalization.
+
+Reference parity (behavioral, not code):
+- accent-strip + case-fold before indexing/search: ``xml_parsers.py:428``,
+  ``geo_gui.py:161-165`` (P8 in SURVEY.md §2.2)
+- camelCase -> spaced words: ``xml_parsers.py:105``
+- per-doc distinct-token handling: ``xml_parsers.py:428-430`` (A2)
+
+Design: the tokenizer is a *pure Spark column expression* (regexp_replace +
+lower + split + filter), so it runs JVM-side inside whole-stage codegen —
+faster than any Python path and trivially expressible in ANSI SQL for the
+DuckDB oracle. The documented spec (shared with the oracle):
+
+1. insert a space at every lower->upper camelCase boundary
+   (``fooBar`` -> ``foo Bar``)
+2. lowercase
+3. split on runs of anything outside ``[a-z0-9_]`` (underscore is a token
+   character: ``snake_case_bar`` and ``term_0001`` stay single terms)
+4. drop empty tokens
+
+Why no superpermutation encoding (reference ``super_permutations.py``):
+the reference stores superpermuted phrase strings so *substring* search is
+token-order-insensitive; a tokenized inverted index is order-insensitive by
+construction, so that machinery is deleted by design (SURVEY.md §2.9 U4, §4 O16).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Regex pieces shared (conceptually) with the DuckDB oracle; keep in sync
+# with oracle_sql() in __spark_entry__.py.
+CAMEL_BOUNDARY = "([a-z0-9])([A-Z])"
+NON_TOKEN = "[^a-z0-9_]+"
+
+
+def tokenize(col: Column | str) -> Column:
+    """content -> array<string> of tokens per the spec above."""
+    c = F.col(col) if isinstance(col, str) else col
+    spaced = F.regexp_replace(c, CAMEL_BOUNDARY, r"$1 $2")
+    parts = F.split(F.lower(spaced), NON_TOKEN)
+    return F.filter(parts, lambda x: x != F.lit(""))
+
+
+def tokenize_sql(expr: str) -> str:
+    """Spark-SQL string form of :func:`tokenize` (for spark.sql paths)."""
+    return (
+        "filter(split(lower(regexp_replace({e}, '([a-z0-9])([A-Z])', '$1 $2')),"
+        " '[^a-z0-9_]+'), x -> x != '')"
+    ).format(e=expr)
+
+
+def duckdb_tokenize_sql(expr: str) -> str:
+    """DuckDB-SQL twin of :func:`tokenize` — used by the oracle.
+
+    Must stay semantically identical to the Spark expression: same camel
+    boundary, same token charset, same empty-drop.
+    """
+    return (
+        "list_filter(regexp_split_to_array(lower(regexp_replace({e},"
+        " '([a-z0-9])([A-Z])', '\\1 \\2', 'g')), '[^a-z0-9_]+'),"
+        " x -> x <> '')"
+    ).format(e=expr)

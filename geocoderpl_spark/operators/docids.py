@@ -1,0 +1,70 @@
+"""Deterministic global docID assignment without a driver bottleneck.
+
+Reference analog: the serial global row-offset counter
+(``xml_parsers.py:513``, SURVEY.md §2.4 A7) — a single mutable integer that
+serializes the whole build. The Spark replacement assigns
+``doc_id = rank of (key_cols) in the global sort order`` with a
+range-repartition + per-partition prefix-sum: no global window, no driver
+loop, deterministic across runs and parallelism levels (required for
+rank-identity vs the oracle and for resumable builds, SURVEY.md §7.4 #2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def assign_dense_ids(
+    df: DataFrame,
+    key_cols: list[str],
+    out_col: str = "doc_id",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Add ``out_col`` = 0-based dense rank of the (unique) natural key.
+
+    Equivalent to ``row_number() over (order by key_cols) - 1`` but scalable
+    (no single-partition global window):
+    1. range-repartition on the key (global order across partitions)
+    2. per-partition row_number (shuffle-free ordering within partition)
+    3. tiny per-partition count table -> prefix-sum offsets -> broadcast join
+    """
+    partitions = partitions or df.sparkSession.sparkContext.defaultParallelism
+    keyed = df.repartitionByRange(partitions, *key_cols)
+
+    w_part = Window.partitionBy("_pid").orderBy(*key_cols)
+    # PERSIST is load-bearing: repartitionByRange picks boundaries by
+    # *seedless sampling*, so two separate jobs over the same lineage can
+    # disagree on partition boundaries — the count pass and the final pass
+    # must see the same materialization or ids get corrupted at boundaries.
+    # (Same technique RDD.zipWithIndex uses: one count job over a pinned
+    # partitioning, then a map.) Callers may unpersist via `_dense_ids_cache`
+    # once the result is written out.
+    local = (
+        keyed.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_rn", F.row_number().over(w_part))
+    ).persist()
+    # offsets: cumulative count of rows in all preceding partitions. This is
+    # P rows of metadata — the prefix sum runs driver-side (the standard
+    # zipWithIndex technique), never on row data.
+    counts = sorted(
+        local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt")).collect(),
+        key=lambda r: r["_pid"],
+    )
+    acc, rows = 0, []
+    for r in counts:
+        rows.append((r["_pid"], acc))
+        acc += r["_cnt"]
+    offsets = df.sparkSession.createDataFrame(rows or [(0, 0)], "_pid int, _off long")
+    out = (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_off") + F.col("_rn") - 1).cast("long"))
+        .drop("_pid", "_rn", "_off")
+    )
+    out._dense_ids_cache = local  # handle for caller-side unpersist
+    return out
+
+
+def assign_doc_ids(df: DataFrame, key_cols: list[str], partitions: int | None = None) -> DataFrame:
+    """doc_id assignment (reference analog: serial counter ``xml_parsers.py:513``)."""
+    return assign_dense_ids(df, key_cols, "doc_id", partitions)

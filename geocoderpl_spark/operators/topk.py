@@ -1,0 +1,209 @@
+"""Top-k BM25 query stage: dictionary gate -> pruned posting scan -> score
+-> top-k.
+
+Reference-lifecycle parity (SURVEY.md §3.2): the reference gates each query
+on a vocabulary-membership test (``geo_gui.py:172``), scans posting
+partitions nearest-first with early termination (``geo_gui.py:178-188``),
+then point-looks-up full rows (``geo_gui.py:190-202``). Here:
+
+- gate      = inner join of query terms with the (broadcast) term dictionary
+- pruning   = postings scan filtered to the query's term_ids (parquet
+  predicate pushdown + min/max row-group skipping; the analog of the
+  reference's 9-of-40,000-sector fetch, J4)
+- two paths:
+  * :func:`query_topk_exact` — fully distributed DataFrame plan (decode ->
+    score -> partial-agg -> window top-k). Scales to any query/corpus size;
+    this is the batch path and the oracle-comparable one.
+  * :func:`query_topk_pruned` — Arrow-batched per-query kernel implementing
+    MaxScore/Block-Max pruning (the two-phase cheap-bound-then-exact idea
+    the reference uses for its k-NN join, ``geo_utilities.py:589-760``, J5).
+    Serving path: low latency for small k; gathers each query's candidate
+    blocks to one task, so it assumes per-query candidate sets fit a task
+    (true for interactive serving; batch scoring uses the exact path).
+
+Both paths round scores to 6 dp *before* ranking and tie-break by doc_id
+asc, so their results are rank-identical to each other and to the oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.bm25 import SCORE_DECIMALS, idf_col
+from ..functions.tokenize import tokenize
+from .postings import decode_postings
+
+TOPK_SCHEMA = "query_id long, doc_id long, score double, rank int"
+
+
+def tokenize_queries(queries: DataFrame, text_col: str = "query_text") -> DataFrame:
+    """(query_id, query_text, k) -> (query_id, k, term, qtf)."""
+    return (
+        queries.select("query_id", "k", F.explode(tokenize(text_col)).alias("term"))
+        .groupBy("query_id", "k", "term")
+        .agg(F.count(F.lit(1)).alias("qtf"))
+    )
+
+
+def gate_terms(qterms: DataFrame, terms: DataFrame, n_docs: int) -> DataFrame:
+    """Dictionary gate (O14): unknown terms never touch postings.
+
+    Inner join vs broadcast term dictionary; attaches term_id, df, idf.
+    """
+    dic = F.broadcast(terms.select("term", "term_id", "df"))
+    return qterms.join(dic, "term").withColumn("idf", idf_col(F.col("df"), n_docs))
+
+
+def _topk_window(scored: DataFrame) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", "doc_id", "score", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def query_topk_exact(
+    postings: DataFrame,
+    terms: DataFrame,
+    queries: DataFrame,
+    n_docs: int,
+    avgdl: float,
+) -> DataFrame:
+    """Distributed exact BM25 top-k. queries: (query_id, query_text, k)."""
+    gated = gate_terms(tokenize_queries(queries), terms, n_docs)
+    tids = gated.select("term_id").distinct()
+    cand = postings.join(F.broadcast(tids), "term_id")  # pruned scan
+    rows = decode_postings(cand)
+    from ..functions.bm25 import tfnorm_col
+
+    scored = (
+        rows.join(F.broadcast(gated), "term_id")
+        .withColumn(
+            "contrib",
+            F.col("qtf") * F.col("idf") * tfnorm_col(F.col("tf"), F.col("doclen"), avgdl),
+        )
+        .groupBy("query_id", "k", "doc_id")
+        .agg(F.round(F.sum("contrib"), SCORE_DECIMALS).alias("score"))
+    )
+    return _topk_window(scored)
+
+
+def _pruned_kernel(avgdl: float):
+    """Per-query MaxScore kernel with block-max skipping (numpy, Arrow-batched).
+
+    Terms are processed in descending upper-bound order (upper = qtf * idf *
+    block_max_tfn over the term's blocks). After each term, theta = current
+    k-th best score; once the sum of remaining terms' upper bounds drops
+    below theta, no unseen doc can enter the top-k, so remaining terms only
+    *re-score existing candidates*: their blocks are decoded only if the
+    block's [first_doc, last_doc] range intersects a surviving candidate
+    (binary search) and the block bound can still matter.
+    """
+
+    def fn(key, pdf):
+        import numpy as np
+
+        from ..functions.bm25 import tfnorm_np
+        from ..functions.codec import decode_doc_gaps, decode_tfs
+
+        (query_id,) = key
+        if len(pdf) == 0:
+            return pd.DataFrame(columns=["query_id", "doc_id", "score", "rank"])
+        k = int(pdf["k"].iloc[0])
+        # per-term upper bound
+        g = pdf.groupby("term_id", sort=False)
+        term_meta = g.agg(
+            idf=("idf", "first"), qtf=("qtf", "first"), bmax=("block_max_tfn", "max")
+        )
+        term_meta["upper"] = term_meta["idf"] * term_meta["qtf"] * term_meta["bmax"]
+        order = term_meta.sort_values("upper", ascending=False).index.to_numpy()
+        uppers = term_meta["upper"].loc[order].to_numpy()
+        remaining_after = np.concatenate([np.cumsum(uppers[::-1])[::-1][1:], [0.0]])
+
+        acc_docs = np.empty(0, dtype=np.int64)
+        acc_scores = np.empty(0, dtype=np.float64)
+        theta = -np.inf
+        closed = False  # True once no new doc can reach the top-k
+        for ti, tid in enumerate(order):
+            tpdf = pdf[pdf["term_id"] == tid]
+            w = float(term_meta["idf"].loc[tid] * term_meta["qtf"].loc[tid])
+            firsts = tpdf["first_doc"].to_numpy()
+            lasts = tpdf["last_doc"].to_numpy()
+            bounds = w * tpdf["block_max_tfn"].to_numpy()
+            if closed and acc_docs.size:
+                # decode only blocks overlapping surviving candidates whose
+                # bound could still change membership vs (theta - remaining)
+                lo = np.searchsorted(acc_docs, firsts, side="left")
+                hi = np.searchsorted(acc_docs, lasts, side="right")
+                # 1e-6 slack: final ranking uses 6-dp-rounded scores, so keep
+                # anything that could tie at the rounding boundary
+                keep = (hi > lo) & (bounds + remaining_after[ti] + _best_partial(
+                    acc_scores, lo, hi) >= theta - 1e-6)
+                tpdf = tpdf[keep]
+            elif closed:
+                break
+            if len(tpdf) == 0:
+                continue
+            d = np.concatenate([decode_doc_gaps(b) for b in tpdf["doc_ids"]])
+            t = np.concatenate([decode_tfs(b) for b in tpdf["tfs"]])
+            dl = np.concatenate([decode_tfs(b) for b in tpdf["dls"]])
+            contrib = w * tfnorm_np(t.astype(np.float64), dl.astype(np.float64), avgdl)
+            # merge into accumulator (both sorted by doc_id)
+            md = np.concatenate([acc_docs, d])
+            ms = np.concatenate([acc_scores, contrib])
+            uniq, inv = np.unique(md, return_inverse=True)
+            summed = np.zeros(uniq.size, dtype=np.float64)
+            np.add.at(summed, inv, ms)
+            acc_docs, acc_scores = uniq, summed
+            if acc_scores.size >= k:
+                theta = np.partition(acc_scores, -k)[-k]
+            if not closed and remaining_after[ti] < theta - 1e-6:
+                closed = True
+        if acc_docs.size == 0:
+            return pd.DataFrame(columns=["query_id", "doc_id", "score", "rank"]).astype(
+                {"query_id": "int64", "doc_id": "int64", "score": "float64", "rank": "int32"}
+            )
+        score_r = np.round(acc_scores, SCORE_DECIMALS)
+        sel = np.lexsort((acc_docs, -score_r))[:k]
+        return pd.DataFrame(
+            {
+                "query_id": np.full(sel.size, query_id, dtype=np.int64),
+                "doc_id": acc_docs[sel],
+                "score": score_r[sel],
+                "rank": np.arange(1, sel.size + 1, dtype=np.int32),
+            }
+        )
+
+    return fn
+
+
+def _best_partial(acc_scores, lo, hi):
+    """Max accumulated score among candidates inside each block range —
+    cheap over-estimate via global max (keeps the filter sound)."""
+    import numpy as np
+
+    m = acc_scores.max() if acc_scores.size else 0.0
+    return np.where(hi > lo, m, 0.0)
+
+
+def query_topk_pruned(
+    postings: DataFrame,
+    terms: DataFrame,
+    queries: DataFrame,
+    n_docs: int,
+    avgdl: float,
+) -> DataFrame:
+    """Serving path: per-query block-max MaxScore kernel."""
+    gated = gate_terms(tokenize_queries(queries), terms, n_docs)
+    tids = gated.select("term_id").distinct()
+    cand = postings.join(F.broadcast(tids), "term_id").join(
+        F.broadcast(gated), "term_id"
+    )
+    out = cand.groupBy("query_id").applyInPandas(_pruned_kernel(avgdl), schema=TOPK_SCHEMA)
+    # queries whose terms are all unknown produce no group -> naturally empty
+    return out

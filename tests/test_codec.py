@@ -1,0 +1,56 @@
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from geocoderpl_spark.functions.codec import (
+    decode_doc_gaps,
+    decode_tfs,
+    encode_doc_gaps,
+    encode_tfs,
+    varint_decode,
+    varint_encode,
+)
+
+
+def test_varint_golden():
+    # LEB128 golden bytes
+    assert varint_encode(np.array([0])) == b"\x00"
+    assert varint_encode(np.array([1])) == b"\x01"
+    assert varint_encode(np.array([127])) == b"\x7f"
+    assert varint_encode(np.array([128])) == b"\x80\x01"
+    assert varint_encode(np.array([300])) == b"\xac\x02"
+    assert varint_encode(np.array([])) == b""
+
+
+def test_varint_roundtrip_mixed():
+    vals = np.array([0, 1, 127, 128, 300, 2**32, 2**56 + 5, 7])
+    assert (varint_decode(varint_encode(vals)) == vals.astype(np.uint64)).all()
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**62), max_size=300))
+def test_varint_roundtrip_property(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    assert (varint_decode(varint_encode(arr)) == arr).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.sets(st.integers(min_value=0, max_value=2**40), min_size=1, max_size=300))
+def test_doc_gap_roundtrip(ids):
+    arr = np.array(sorted(ids), dtype=np.int64)
+    assert (decode_doc_gaps(encode_doc_gaps(arr)) == arr).all()
+
+
+def test_doc_gap_boundaries():
+    assert decode_doc_gaps(b"").size == 0
+    one = np.array([42], dtype=np.int64)
+    assert (decode_doc_gaps(encode_doc_gaps(one)) == one).all()
+    # doc_id 0 must survive (gap-0 head)
+    z = np.array([0, 1, 2], dtype=np.int64)
+    assert (decode_doc_gaps(encode_doc_gaps(z)) == z).all()
+
+
+def test_tf_roundtrip():
+    tf = np.array([1, 1, 9, 200, 70000], dtype=np.int64)
+    assert (decode_tfs(encode_tfs(tf)) == tf).all()

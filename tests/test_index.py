@@ -1,0 +1,171 @@
+"""End-to-end index build + query correctness vs the brute-force oracle
+(FIXTURES.md §§2-3, 5): rank identity, sha256 invariant, boundary cases,
+resume, determinism across parallelism."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from geocoderpl_spark.plans.build import InvertedIndex, build_index
+from geocoderpl_spark.sources.corpus import synth_corpus
+from tests.oracle import bm25_topk_py
+
+N_DOCS = 1000
+
+
+@pytest.fixture(scope="module")
+def corpus_pdf(spark):
+    return synth_corpus(spark, N_DOCS).toPandas()
+
+
+@pytest.fixture(scope="module")
+def index(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("idx"))
+    corpus = synth_corpus(spark, N_DOCS)
+    return build_index(spark, corpus, out, n_buckets=8, partitions=8)
+
+
+def _docs_dict(spark, index, corpus_pdf):
+    # doc_id assignment = rank by (repo, path, commit); replicate in pandas
+    pdf = corpus_pdf.sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+    pdf["doc_id"] = pdf.index
+    return dict(zip(pdf["doc_id"], pdf["content"]))
+
+
+QUERIES = [
+    (0, "term_0001", 10),
+    (1, "term_0001 term_0002", 10),
+    (2, "the_hot_term", 10),  # hot/skewed term
+    (3, "camelCaseFoo snake_case_bar", 10),
+    (4, "term_4999", 10),  # rare term
+    (5, "totally_unknown_term", 10),  # vocabulary gate -> empty
+    (6, "term_0003 totally_unknown_term", 10),  # partial-known
+    (7, "term_0001", 1),  # k=1
+    (8, "term_0001 the_hot_term term_0500 getUserById", 10000),  # k > corpus
+]
+
+
+@pytest.mark.parametrize("mode", ["exact", "pruned"])
+def test_topk_rank_identical_to_oracle(spark, index, corpus_pdf, mode):
+    docs = _docs_dict(spark, index, corpus_pdf)
+    q = spark.createDataFrame(QUERIES, "query_id long, query_text string, k int")
+    got = index.topk(q, mode).toPandas()
+    for qid, qtext, k in QUERIES:
+        expected = bm25_topk_py(docs, qtext, k)
+        sub = got[got.query_id == qid].sort_values("rank")
+        assert list(sub.doc_id) == [d for d, _ in expected], (qid, qtext, mode)
+        for s_got, (_, s_exp) in zip(sub.score, expected):
+            assert abs(s_got - s_exp) <= 1e-6, (qid, qtext, mode)
+
+
+def test_docstats_sha256_invariant(spark, index, corpus_pdf):
+    """input_hint: per-row sha256(content) equality engine vs source."""
+    import hashlib
+
+    stats = index.docstats.toPandas().set_index(["repo", "path", "commit"])
+    src = corpus_pdf.set_index(["repo", "path", "commit"])
+    assert len(stats) == len(src)
+    joined = stats.join(src, how="inner", lsuffix="_e")
+    assert len(joined) == len(src)
+    calc = joined["content"].map(lambda c: hashlib.sha256(c.encode()).hexdigest())
+    assert (joined["sha256"] == calc).all()
+    assert (joined["sha256"] == joined["sha256_e"]).all() if "sha256_e" in joined else True
+
+
+def test_doclen_matches_oracle(spark, index, corpus_pdf):
+    from tests.oracle import tokenize_py
+
+    docs = _docs_dict(spark, index, corpus_pdf)
+    stats = index.docstats.toPandas().set_index("doc_id")
+    for d, content in list(docs.items())[:50]:
+        assert stats.loc[d, "doclen"] == len(tokenize_py(content))
+
+
+def test_terms_df_cf_match_oracle(spark, index, corpus_pdf):
+    from collections import Counter
+
+    from tests.oracle import tokenize_py
+
+    docs = _docs_dict(spark, index, corpus_pdf)
+    dfreq: Counter = Counter()
+    cfreq: Counter = Counter()
+    for c in docs.values():
+        toks = tokenize_py(c)
+        cfreq.update(toks)
+        dfreq.update(set(toks))
+    terms = index.terms.toPandas().set_index("term")
+    assert len(terms) == len(dfreq)
+    for t in list(dfreq)[:200]:
+        assert terms.loc[t, "df"] == dfreq[t]
+        assert terms.loc[t, "cf"] == cfreq[t]
+    # term_id = dense rank of term string
+    srt = terms.sort_values("term_id")
+    assert list(srt.index) == sorted(dfreq)
+
+
+def test_postings_blocks_sorted_and_complete(spark, index):
+    from geocoderpl_spark.operators.postings import decode_postings
+
+    rows = decode_postings(index.postings).toPandas()
+    terms = index.terms.toPandas()
+    # per-term posting count == df
+    got_df = rows.groupby("term_id").size()
+    exp_df = terms.set_index("term_id")["df"]
+    assert got_df.sort_index().equals(exp_df.sort_index().astype(got_df.dtype))
+    # doc_ids unique within each term (blocks arrive in arbitrary read order)
+    for tid, g in rows.groupby("term_id"):
+        d = g["doc_id"].sort_values().to_numpy()
+        assert (d[1:] > d[:-1]).all()
+    # block ranges per term are disjoint and ordered by block_id
+    blocks = index.postings.toPandas().sort_values(["term_id", "block_id"])
+    for tid, g in blocks.groupby("term_id"):
+        assert (g["first_doc"].to_numpy() == g["block_id"].to_numpy()).all()
+        assert (g["first_doc"].to_numpy()[1:] > g["last_doc"].to_numpy()[:-1]).all()
+
+
+def test_resume_rebuilds_identical_postings(spark, index, tmp_path):
+    """Kill-and-resume (FIXTURES.md §5): wipe the postings stage, rebuild,
+    assert identical decoded index; earlier stages are resumed not rebuilt."""
+    from geocoderpl_spark.operators.postings import decode_postings
+
+    before = (
+        decode_postings(index.postings)
+        .toPandas()
+        .sort_values(["term_id", "doc_id"])
+        .reset_index(drop=True)
+    )
+    shutil.rmtree(os.path.join(index.root, "postings"))
+    corpus = synth_corpus(spark, N_DOCS)
+    idx2 = build_index(spark, corpus, index.root, n_buckets=8, partitions=8)
+    after = (
+        decode_postings(idx2.postings)
+        .toPandas()
+        .sort_values(["term_id", "doc_id"])
+        .reset_index(drop=True)
+    )
+    assert before.equals(after)
+    m = spark.read.parquet(os.path.join(index.root, "metrics")).toPandas()
+    resumed = m[m.status == "resumed"].stage.unique()
+    assert {"docstats", "tf", "terms"} <= set(resumed)
+
+
+def test_build_deterministic_across_parallelism(spark, tmp_path):
+    """Same corpus at different partition counts -> same logical index
+    (doc_ids, postings). Blocks may split differently; decoded rows equal."""
+    from geocoderpl_spark.operators.postings import decode_postings
+
+    a = build_index(spark, synth_corpus(spark, 300), str(tmp_path / "a"), 4, 2)
+    b = build_index(spark, synth_corpus(spark, 300), str(tmp_path / "b"), 4, 7)
+    ra = decode_postings(a.postings).toPandas().sort_values(["term_id", "doc_id"]).reset_index(drop=True)
+    rb = decode_postings(b.postings).toPandas().sort_values(["term_id", "doc_id"]).reset_index(drop=True)
+    assert ra.equals(rb)
+
+
+def test_lineage_counts(spark, index):
+    lin = spark.read.parquet(os.path.join(index.root, "lineage")).toPandas()
+    post = index.postings.toPandas()
+    assert int(lin.n_blocks.sum()) == len(post)
+    assert int(lin.n_postings.sum()) == int(post.n.sum())
