@@ -1,38 +1,517 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry in ``queries()`` is an operator/pipeline of the engine
+(`geocoderpl_spark`), and ``oracle_sql()`` carries a semantically identical
+ANSI-SQL program for DuckDB over the same parquet tables. Both sides share
+the documented tokenizer spec and BM25 formula (see
+``geocoderpl_spark/functions/tokenize.py`` / ``bm25.py``); every float is
+rounded before ranking/output so results hash-match bit-for-bit.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF001 = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------------------
+# shared literals (Spark + DuckDB sides are generated from the same data)
+# ---------------------------------------------------------------------------
+
+# BM25 reference query set (FIXTURES.md §2): common terms, single term,
+# partially-unknown, fully-unknown (vocabulary gate), k=3, k>corpus.
+BM25_QUERIES: list[tuple[int, str, int]] = [
+    (0, "spark query join", 10),
+    (1, "the fast table scan", 10),
+    (2, "window", 5),
+    (3, "zzzunknownterm spark", 10),
+    (4, "stream batch group row", 3),
+    (5, "zzzunknownterm", 10),
+    (6, "merge sort", 10000),
+]
+
+ANN_PROBES = [0, 1, 2, 3, 4]
+ANN_K = 5
+
+# DuckDB twin of geocoderpl_spark.functions.tokenize.tokenize (kept in sync
+# with tests/test_tokenize.py which asserts all three implementations agree)
+def _duck_toks(expr: str) -> str:
+    return (
+        "list_filter(regexp_split_to_array(lower(regexp_replace({e},"
+        " '([a-z0-9])([A-Z])', '\\1 \\2', 'g')), '[^a-z0-9_]+'),"
+        " x -> x <> '')"
+    ).format(e=expr)
+
+
+def _values_sql() -> str:
+    rows = ", ".join(f"({i}, '{t}', {k})" for i, t, k in BM25_QUERIES)
+    return f"(VALUES {rows})"
+
+
+# BM25 oracle: symbol-for-symbol the engine's formula (k1=1.2, b=0.75,
+# Lucene idf, 6-dp rounding before ranking, doc_id tie-break).
+_BM25_ORACLE = f"""
+WITH tokd AS (
+  SELECT doc_id, {_duck_toks('text')} AS toks FROM documents
+),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tokd
+  ) GROUP BY doc_id, dl, term
+),
+stats AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM tokd),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query_id, query_text, k) AS {_values_sql()},
+qtf AS (
+  SELECT query_id, k, term, count(*) AS qtf FROM (
+    SELECT query_id, k, unnest({_duck_toks('query_text')}) AS term FROM q
+  ) GROUP BY query_id, k, term
+),
+scored AS (
+  SELECT qtf.query_id, qtf.k, tf.doc_id,
+         round(sum(qtf.qtf * ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                   * ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl)))), 6)
+           AS score
+  FROM tf JOIN dfreq d USING (term) JOIN qtf USING (term) CROSS JOIN stats s
+  GROUP BY qtf.query_id, qtf.k, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score, k,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT query_id::BIGINT AS query_id, rnk::INT AS rank, doc_id, score
+FROM ranked WHERE rnk <= k
+"""
+
+
+def _bm25_queries_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(BM25_QUERIES, "query_id long, query_text string, k int")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# query implementations
+# ---------------------------------------------------------------------------
+
+
+def q_fts_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geocoderpl_spark.operators.topk import bm25_topk_direct
+
+    return bm25_topk_direct(_docs(spark, sf_dir), _bm25_queries_df(spark))
+
+
+_INDEX_CACHE: dict[str, object] = {}
+
+
+def _index_for(spark: SparkSession, sf_dir: str):
+    from geocoderpl_spark.plans.build import build_index
+
+    if sf_dir not in _INDEX_CACHE:
+        out = os.path.join(
+            tempfile.gettempdir(), "graft_idx_" + sf_dir.strip("/").replace("/", "_")
+        )
+        _INDEX_CACHE[sf_dir] = build_index(
+            spark, _docs(spark, sf_dir), out, n_buckets=16, id_col="doc_id",
+            content_col="text",
+        )
+    return _INDEX_CACHE[sf_dir]
+
+
+def q_fts_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same query set answered through the *persisted compressed index*
+    (SPIMI build -> varint blocks -> MaxScore kernel)."""
+    idx = _index_for(spark, sf_dir)
+    return idx.topk(_bm25_queries_df(spark), mode="pruned")
+
+
+def q_fts_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term dictionary (df, cf) — the vocabulary table (reference K3 analog)."""
+    from geocoderpl_spark.operators.postings import build_terms, term_frequencies, tokenized_docs
+
+    tok = tokenized_docs(
+        _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
+    )
+    t = build_terms(term_frequencies(tok))
+    return t.select("term", "term_id", "df", "cf")
+
+
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geocoderpl_spark.operators.textstats import token_count
+
+    return token_count(_docs(spark, sf_dir))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geocoderpl_spark.operators.textstats import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geocoderpl_spark.operators.textstats import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geocoderpl_spark.operators.textstats import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geocoderpl_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geocoderpl_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geocoderpl_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geocoderpl_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geocoderpl_spark.operators.similarity import cosine_topk
+
+    return cosine_topk(_emb(spark, sf_dir), ANN_PROBES, ANN_K)
+
+
+def q_rel_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geocoderpl_spark.operators.relational import agg_pricing_summary
+
+    return agg_pricing_summary(spark, sf_dir)
+
+
+def q_rel_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geocoderpl_spark.operators.relational import broadcast_dim_join
+
+    return broadcast_dim_join(spark, sf_dir)
+
+
+def q_rel_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geocoderpl_spark.operators.relational import topk_per_group
+
+    return topk_per_group(spark, sf_dir)
+
+
+def q_rel_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geocoderpl_spark.operators.relational import semi_join_customers_with_orders
+
+    return semi_join_customers_with_orders(spark, sf_dir)
+
+
+def q_rel_anti_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geocoderpl_spark.operators.relational import anti_join_sentinel_parts
+
+    return anti_join_sentinel_parts(spark, sf_dir)
+
+
+def q_rel_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geocoderpl_spark.operators.relational import point_lookup_orders
+
+    return point_lookup_orders(spark, sf_dir)
+
+
+def q_rel_running_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geocoderpl_spark.operators.relational import running_sum_per_customer
+
+    return running_sum_per_customer(spark, sf_dir)
+
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geocoderpl_spark.operators.relational import events_type_rollup
+
+    return events_type_rollup(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-k over the sf0.001 documents corpus."""
+    return q_fts_bm25_topk(spark, SF001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "fts_bm25_topk": q_fts_bm25_topk,
+        "fts_bm25_topk_indexed": q_fts_bm25_topk_indexed,
+        "fts_term_stats": q_fts_term_stats,
+        "text_token_count": q_text_token_count,
+        "text_quality": q_text_quality,
+        "text_lang_id": q_text_lang_id,
+        "text_fingerprint": q_text_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "rel_agg_pricing": q_rel_agg_pricing,
+        "rel_broadcast_join": q_rel_broadcast_join,
+        "rel_topk_per_group": q_rel_topk_per_group,
+        "rel_semi_join": q_rel_semi_join,
+        "rel_anti_sentinel": q_rel_anti_sentinel,
+        "rel_point_lookup": q_rel_point_lookup,
+        "rel_running_window": q_rel_running_window,
+        "events_rollup": q_events_rollup,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    toks = _duck_toks("text")
+    qk = ", ".join(str(int(x)) for x in ANN_PROBES)
+    return {
+        "fts_bm25_topk": _BM25_ORACLE,
+        "fts_bm25_topk_indexed": _BM25_ORACLE,
+        "fts_term_stats": f"""
+WITH tokd AS (SELECT doc_id, {toks} AS toks FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tokd) GROUP BY doc_id, term
+),
+stats AS (SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf FROM tf GROUP BY term)
+SELECT term, (row_number() OVER (ORDER BY term) - 1)::BIGINT AS term_id, df, cf FROM stats
+""",
+        "text_token_count": f"""
+SELECT doc_id, len({toks})::INT AS n_tokens,
+       len(list_distinct({toks}))::INT AS n_distinct_tokens
+FROM documents
+""",
+        "text_quality": f"""
+WITH b AS (
+  SELECT doc_id, {toks} AS toks, text FROM documents
+), m AS (
+  SELECT doc_id, len(toks) AS n_tok, length(text) AS chars,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS punct,
+         len(list_filter(toks, x -> x IN ('the','of','and','to','in','is','that','it','for','on'))) AS stop
+  FROM b
+)
+SELECT doc_id,
+  CASE WHEN n_tok = 0 THEN 0.0 ELSE
+    round(0.4 * least(n_tok / 100.0, 1.0)
+        + 0.3 * (1.0 - punct / greatest(chars, 1))
+        + 0.3 * (stop / greatest(n_tok, 1)), 6)
+  END AS quality
+FROM m
+""",
+        "text_lang_id": f"""
+WITH b AS (SELECT doc_id, {toks} AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+    len(list_filter(toks, x -> x IN ('the','of','and','to','in','is','that','it','for','on'))) AS s_en,
+    len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un','por','con','los'))) AS s_es,
+    len(list_filter(toks, x -> x IN ('der','die','und','das','ist','von','mit','den','nicht','ein'))) AS s_de,
+    len(list_filter(toks, x -> x IN ('le','la','et','les','des','est','dans','que','pour','une'))) AS s_fr
+  FROM b
+)
+SELECT doc_id,
+  CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+       WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+       WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+       WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+       ELSE 'fr' END AS pred_lang
+FROM s
+""",
+        "text_fingerprint": f"""
+SELECT doc_id, md5(array_to_string({toks}, ' ')) AS fingerprint FROM documents
+""",
+        "dedup_exact": """
+SELECT min(doc_id) AS doc_id, count(*) AS n_dups FROM documents GROUP BY md5(text)
+""",
+        "dedup_ngram_jaccard": _JACCARD_ORACLE,
+        "dedup_minhash_lsh": _MINHASH_ORACLE,
+        "dedup_simhash": _SIMHASH_ORACLE,
+        "ann_cosine_topk": f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+p AS (SELECT vec_id AS probe_id, embedding AS pvec FROM e WHERE vec_id IN ({qk})),
+pairs AS (
+  SELECT p.probe_id, e.vec_id,
+         list_sum(list_transform(generate_series(1, len(e.embedding)),
+             i -> e.embedding[i]::DOUBLE * p.pvec[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+            * sqrt(list_sum(list_transform(p.pvec, x -> x::DOUBLE * x::DOUBLE)))) AS c
+  FROM e CROSS JOIN p WHERE e.vec_id <> p.probe_id
+),
+ranked AS (
+  SELECT probe_id, vec_id, round(c, 6) AS cos,
+         row_number() OVER (PARTITION BY probe_id ORDER BY round(c, 6) DESC, vec_id) AS rnk
+  FROM pairs
+)
+SELECT probe_id, rnk::INT AS rank, vec_id, cos FROM ranked WHERE rnk <= {ANN_K}
+""",
+        "rel_agg_pricing": """
+SELECT l_returnflag, l_linestatus,
+  (sum(l_quantity::DECIMAL(18,2)))::DOUBLE AS sum_qty,
+  (sum(l_extendedprice::DECIMAL(18,2)))::DOUBLE AS sum_base_price,
+  (sum(l_extendedprice::DECIMAL(18,2) * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))))::DOUBLE AS sum_disc_price,
+  count(*) AS count_order
+FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "rel_broadcast_join": """
+SELECT r_name, count(*) AS n_customers,
+       (sum(c_acctbal::DECIMAL(18,2)))::DOUBLE AS sum_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+        "rel_topk_per_group": """
+SELECT o_orderpriority, rnk::INT AS rank, o_orderkey, o_totalprice FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+""",
+        "rel_semi_join": """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+""",
+        "rel_anti_sentinel": """
+SELECT p_partkey, coalesce(cnt, 0) AS n_orders
+FROM part LEFT JOIN (
+  SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY l_partkey
+) ON p_partkey = l_partkey
+""",
+        "rel_point_lookup": """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+WHERE o_orderkey IN (1, 7, 32, 100, 9999999)
+""",
+        "rel_running_window": """
+SELECT o_custkey, o_orderkey,
+       count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_orders
+FROM orders
+""",
+        "events_rollup": """
+SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n,
+       (sum(value::DECIMAL(18,4)))::DOUBLE AS sum_value
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+""",
+    }
+
+
+# ---------------------------------------------------------------------------
+# dedup oracles (replicate the deterministic algorithms, incl. hash params)
+# ---------------------------------------------------------------------------
+
+_SHINGLES = f"""
+tokd AS (SELECT doc_id, {_duck_toks('text')} AS toks FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, s AS shingle FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(toks) >= 3
+                  THEN [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+                  ELSE [] END) AS s
+    FROM tokd)
+)"""
+
+_JACCARD_CORE = """
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b USING (shingle) WHERE a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
+),
+jac AS (
+  SELECT doc_a, doc_b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+)"""
+
+_JACCARD_ORACLE = f"""
+WITH {_SHINGLES},
+{_JACCARD_CORE}
+SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5
+"""
+
+
+def _minhash_params_sql() -> str:
+    from geocoderpl_spark.operators.dedup import MINHASH_PARAMS
+
+    rows = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_PARAMS))
+    return f"(VALUES {rows})"
+
+
+def _minhash_oracle() -> str:
+    return f"""
+WITH {_SHINGLES},
+{_JACCARD_CORE},
+hx AS (
+  SELECT doc_id, ('0x' || substring(md5(shingle), 1, 15))::BIGINT % 1000000007 AS x
+  FROM sh
+),
+params(i, a, b) AS {_minhash_params_sql()},
+sig AS (
+  SELECT doc_id, i, min((a * x + b) % 1000000007) AS minhash
+  FROM hx CROSS JOIN params GROUP BY doc_id, i
+),
+bands AS (
+  SELECT doc_id, (i // 4)::INT AS band,
+         string_agg(minhash::VARCHAR, '_' ORDER BY i) AS bsig
+  FROM sig GROUP BY doc_id, (i // 4)::INT
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+  WHERE a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b, j.jaccard
+FROM cand c JOIN jac j ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+WHERE j.jaccard >= 0.5
+"""
+
+
+_MINHASH_ORACLE = _minhash_oracle()
+
+_SIMHASH_ORACLE = f"""
+WITH tokd AS (SELECT doc_id, {_duck_toks('text')} AS toks FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS term FROM tokd) GROUP BY doc_id, term
+),
+th AS (
+  SELECT doc_id, tf, ('0x' || substring(md5(term), 1, 15))::BIGINT AS h FROM tf
+),
+bits AS (
+  SELECT doc_id, j,
+         sum(CASE WHEN (h >> j) & 1 = 1 THEN tf ELSE -tf END) AS s
+  FROM th CROSS JOIN (SELECT unnest(range(60)) AS j) GROUP BY doc_id, j
+),
+sims AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""

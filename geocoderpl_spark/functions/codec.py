@@ -21,12 +21,16 @@ import numpy as np
 BLOCK_SIZE = 128
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array. Vectorized over byte positions."""
+def varint_encode_with_lengths(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """LEB128-encode a uint64 array; returns (byte buffer, bytes-per-value).
+
+    Vectorized over byte positions (<=10 iterations), never over values —
+    callers can slice the buffer into sub-ranges via cumsum(lengths), which
+    lets one encode call serve many posting blocks.
+    """
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
-    # bytes needed per value: ceil(bit_length / 7), min 1
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
     nbits = np.zeros(v.shape, dtype=np.int64)
     tmp = v.copy()
     while True:
@@ -38,13 +42,18 @@ def varint_encode(values: np.ndarray) -> bytes:
     nbytes = np.maximum(1, (nbits + 6) // 7)
     offsets = np.cumsum(nbytes) - nbytes
     out = np.zeros(int(nbytes.sum()), dtype=np.uint8)
-    max_len = int(nbytes.max())
-    for k in range(max_len):
+    for k in range(int(nbytes.max())):
         mask = nbytes > k
         idx = offsets[mask] + k
         byte = ((v[mask] >> np.uint64(7 * k)) & np.uint64(0x7F)).astype(np.uint8)
         cont = (nbytes[mask] > k + 1).astype(np.uint8) << 7
         out[idx] = byte | cont
+    return out, nbytes
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array. Vectorized over byte positions."""
+    out, _ = varint_encode_with_lengths(values)
     return out.tobytes()
 
 

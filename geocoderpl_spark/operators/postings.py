@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from ..functions.bm25 import B as BM25_B
 from ..functions.bm25 import K1 as BM25_K1
-from ..functions.codec import BLOCK_SIZE, encode_doc_gaps, encode_tfs
+from ..functions.codec import BLOCK_SIZE
 from ..functions.tokenize import tokenize
 
 # doclens are stored inline per posting (varint, like tfs): scoring then
@@ -61,6 +61,73 @@ def term_frequencies(tok_docs: DataFrame) -> DataFrame:
     functionally dependent on doc_id) so no docstats join is needed later."""
     pairs = tok_docs.select("doc_id", "doclen", F.explode("tokens").alias("term"))
     return pairs.groupBy("term", "doc_id", "doclen").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def term_frequencies_pandas(docs: DataFrame, content_col: str = "content") -> DataFrame:
+    """Hot-path tf: (term, doc_id, doclen, tf) via an Arrow-batched pandas
+    kernel — tokenize + per-doc counting happen locally in the kernel, so tf
+    needs NO shuffle at all (it is a per-doc map), and the Python regex path
+    is ~10x faster than Spark's regexp expressions on match-heavy text
+    (measured: 28s JVM vs ~2s kernel for 100k docs / 23M tokens @32c).
+
+    This is the north_star's "SPIMI-style per-partition construction inside
+    vectorized pandas/Arrow UDFs (tokenize -> term-docID pairs)"."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions.tokenize import tokenize_py
+
+        from collections import Counter
+
+        for pdf in batches:
+            ids, dls, terms, tfs = [], [], [], []
+            for doc_id, content in zip(pdf["doc_id"].to_numpy(), pdf[content_col]):
+                toks = tokenize_py(content)
+                c = Counter(toks)
+                ids.append(np.full(len(c), doc_id, dtype=np.int64))
+                dls.append(np.full(len(c), len(toks), dtype=np.int64))
+                terms.extend(c.keys())
+                tfs.append(np.fromiter(c.values(), dtype=np.int64, count=len(c)))
+            if not ids:
+                continue
+            yield pd.DataFrame(
+                {
+                    "term": terms,
+                    "doc_id": np.concatenate(ids),
+                    "doclen": np.concatenate(dls),
+                    "tf": np.concatenate(tfs),
+                }
+            )
+
+    return docs.select("doc_id", content_col).mapInPandas(
+        fn, schema="term string, doc_id long, doclen long, tf long"
+    )
+
+
+def docstats_pandas(
+    docs: DataFrame, meta_cols: list[str], content_col: str = "content"
+) -> DataFrame:
+    """Hot-path docstats: doc_id + metadata + doclen + sha256(content), one
+    Arrow pass (tokenize for doclen and hashlib sha256 in the same kernel)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from ..functions.tokenize import tokenize_py
+
+        for pdf in batches:
+            out = pdf[["doc_id", *meta_cols]].copy()
+            out["doclen"] = [len(tokenize_py(c)) for c in pdf[content_col]]
+            out["sha256"] = [
+                hashlib.sha256(c.encode("utf-8")).hexdigest() for c in pdf[content_col]
+            ]
+            yield out
+
+    dtypes = {f.name: f.dataType.simpleString() for f in docs.schema}
+    meta_schema = ", ".join(f"{c} {dtypes[c]}" for c in meta_cols)
+    schema = "doc_id long" + (", " + meta_schema if meta_schema else "") + ", doclen long, sha256 string"
+    return docs.select("doc_id", *meta_cols, content_col).mapInPandas(fn, schema=schema)
 
 
 def build_terms(tf: DataFrame) -> DataFrame:
@@ -121,38 +188,70 @@ def _encode_partition(avgdl: float) -> callable:
 
 
 def _encode_frame(pdf: pd.DataFrame, avgdl: float, np) -> Iterator[pd.DataFrame]:
-    from ..functions.bm25 import tfnorm_np
+    """Encode one frame of (bucket, term_id, doc_id, doclen, tf) rows, sorted
+    by (term_id, doc_id), into compressed blocks.
 
-    out: dict[str, list] = {k: [] for k in (
-        "bucket", "term_id", "block_id", "n", "first_doc", "last_doc",
-        "max_tf", "block_max_tfn", "doc_ids", "tfs", "dls",
-    )}
+    Fully vectorized: block boundaries via diff/reduceat, ONE varint pass per
+    column for the whole frame, per-block bytes sliced out of that buffer by
+    offset. The only per-block Python is the final buffer slicing (bench:
+    the naive per-block loop anti-scaled — 16s@8c -> 35s@32c on 100k docs)."""
+    from ..functions.bm25 import tfnorm_np
+    from ..functions.codec import varint_encode_with_lengths
+
+    n_rows = len(pdf)
+    if n_rows == 0:
+        return
     terms = pdf["term_id"].to_numpy()
     buckets = pdf["bucket"].to_numpy()
-    docs = pdf["doc_id"].to_numpy()
-    tfs = pdf["tf"].to_numpy()
-    dls = pdf["doclen"].to_numpy()
-    # boundaries of per-term runs (input sorted by term_id, doc_id)
-    starts = np.concatenate([[0], (np.diff(terms) != 0).nonzero()[0] + 1, [len(terms)]])
-    for s, e in zip(starts[:-1], starts[1:]):
-        for bs in range(s, e, BLOCK_SIZE):
-            be = min(bs + BLOCK_SIZE, e)
-            d = docs[bs:be]
-            t = tfs[bs:be]
-            tfn = tfnorm_np(t.astype(np.float64), dls[bs:be].astype(np.float64), avgdl)
-            out["bucket"].append(int(buckets[s]))
-            out["term_id"].append(int(terms[s]))
-            out["block_id"].append(int(d[0]))
-            out["n"].append(be - bs)
-            out["first_doc"].append(int(d[0]))
-            out["last_doc"].append(int(d[-1]))
-            out["max_tf"].append(int(t.max()))
-            out["block_max_tfn"].append(float(tfn.max()))
-            out["doc_ids"].append(encode_doc_gaps(d))
-            out["tfs"].append(encode_tfs(t))
-            out["dls"].append(encode_tfs(dls[bs:be]))
-    if out["n"]:
-        yield pd.DataFrame(out)
+    docs = pdf["doc_id"].to_numpy(dtype=np.int64)
+    tfs = pdf["tf"].to_numpy(dtype=np.int64)
+    dls = pdf["doclen"].to_numpy(dtype=np.int64)
+
+    # per-term run starts -> per-block starts (every BLOCK_SIZE within a run)
+    run_starts = np.concatenate([[0], (np.diff(terms) != 0).nonzero()[0] + 1])
+    run_ends = np.concatenate([run_starts[1:], [n_rows]])
+    run_lens = run_ends - run_starts
+    blocks_per_run = (run_lens + BLOCK_SIZE - 1) // BLOCK_SIZE
+    # block start indices: run_start + k*BLOCK_SIZE, k in [0, blocks_per_run)
+    rep_starts = np.repeat(run_starts, blocks_per_run)
+    k_within = np.arange(int(blocks_per_run.sum())) - np.repeat(
+        np.cumsum(blocks_per_run) - blocks_per_run, blocks_per_run
+    )
+    bstarts = rep_starts + k_within * BLOCK_SIZE
+    bends = np.minimum(bstarts + BLOCK_SIZE, np.repeat(run_ends, blocks_per_run))
+    bn = bends - bstarts
+
+    # delta-gaps over the whole frame, reset to absolute doc_id at block heads
+    gaps = np.empty(n_rows, dtype=np.uint64)
+    gaps[1:] = np.diff(docs).astype(np.uint64)
+    gaps[bstarts] = docs[bstarts].astype(np.uint64)
+
+    tfn = tfnorm_np(tfs.astype(np.float64), dls.astype(np.float64), avgdl)
+
+    def encode_column(vals):
+        buf, lens = varint_encode_with_lengths(vals)
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        lo = starts[bstarts]
+        hi = ends[bends - 1]
+        return [buf[a:b].tobytes() for a, b in zip(lo, hi)]
+
+    out = pd.DataFrame(
+        {
+            "bucket": buckets[bstarts].astype(np.int32),
+            "term_id": terms[bstarts],
+            "block_id": docs[bstarts],
+            "n": bn.astype(np.int32),
+            "first_doc": docs[bstarts],
+            "last_doc": docs[bends - 1],
+            "max_tf": np.maximum.reduceat(tfs, bstarts).astype(np.int32),
+            "block_max_tfn": np.maximum.reduceat(tfn, bstarts).astype(np.float32),
+            "doc_ids": encode_column(gaps),
+            "tfs": encode_column(tfs.astype(np.uint64)),
+            "dls": encode_column(dls.astype(np.uint64)),
+        }
+    )
+    yield out
 
 
 def build_postings(
@@ -161,18 +260,35 @@ def build_postings(
     avgdl: float,
     n_buckets: int = N_BUCKETS,
     partitions: int | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
-    """tf (term, doc_id, doclen, tf) -> compressed posting blocks."""
+    """tf (term, doc_id, doclen, tf) -> compressed posting blocks.
+
+    Partitioning: HASH on (bucket, doc-range slice), then sort within
+    partitions. Versus repartitionByRange this (a) skips the range-sampler's
+    extra full pass over tf, (b) makes partition assignment — and therefore
+    block boundaries — fully deterministic (resume => byte-identical
+    segments), and (c) still splits hot terms across tasks: a term's
+    postings spread over ``ceil(n_docs / slice)`` doc-contiguous slices, so
+    block doc-ranges stay disjoint per term (the WAND pruning invariant).
+    """
     spark = tf.sparkSession
     partitions = partitions or spark.sparkContext.defaultParallelism
+    if n_docs:
+        # target ~4 slices per partition's worth of docs; floor keeps slices
+        # doc-contiguous so per-term block ranges never overlap
+        slice_docs = max(BLOCK_SIZE, n_docs // (partitions * 4) + 1)
+    else:
+        slice_docs = 1 << 20
     keyed = (
         tf.join(F.broadcast(terms.select("term", "term_id")), "term")
         .withColumn("bucket", F.pmod(F.xxhash64("term_id"), F.lit(n_buckets)).cast("int"))
-        .select("bucket", "term_id", "doc_id", "doclen", "tf")
-        .repartitionByRange(partitions, "bucket", "term_id", "doc_id")
-        .sortWithinPartitions("bucket", "term_id", "doc_id")
+        .withColumn("slice", (F.col("doc_id") / F.lit(slice_docs)).cast("long"))
+        .select("bucket", "slice", "term_id", "doc_id", "doclen", "tf")
+        .repartition(partitions, "bucket", "slice")
+        .sortWithinPartitions("bucket", "slice", "term_id", "doc_id")
     )
-    return keyed.mapInPandas(_encode_partition(avgdl), schema=POSTINGS_SCHEMA)
+    return keyed.drop("slice").mapInPandas(_encode_partition(avgdl), schema=POSTINGS_SCHEMA)
 
 
 def decode_postings(blocks: DataFrame) -> DataFrame:

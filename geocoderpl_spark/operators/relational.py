@@ -1,0 +1,124 @@
+"""Relational operator surface (SURVEY.md §2 parity demos over the TPC-H-ish
+test tables): broadcast dim joins (J1/J2), semi/anti joins (J4/J6), point
+lookups (J9/J10), group aggregations (A1-A8), top-k windows (W1-W3).
+
+Money aggregates go through DECIMAL so sums are exact and engine-vs-oracle
+comparison is bit-stable (double summation order varies across partitions;
+decimal addition is associative).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style aggregation (A-family; reference A1/A6 analogs)."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.filter(F.col("l_shipdate") < F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .select("l_returnflag", "l_linestatus", "sum_qty", "sum_base_price", "sum_disc_price", "count_order")
+    )
+
+
+def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer -> nation -> region broadcast-join rollup (J1/J2 analogs:
+    the reference probes broadcast TERYT/shape arrays)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("sum_acctbal"),
+        )
+        .select("r_name", "n_customers", "sum_acctbal")
+    )
+
+
+def topk_per_group(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Top-k orders by totalprice per priority (W1 analog: argpartition top-5)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("o_orderpriority", F.col("rank").cast("int").alias("rank"), "o_orderkey", "o_totalprice")
+    )
+
+
+def semi_join_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers having >= 1 order with totalprice > 100000 (J4 analog:
+    sector-set semi-join / partition pruning)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return c.join(o, "c_custkey", "left_semi").select("c_custkey", "c_name")
+
+
+def anti_join_sentinel_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts joined to their order count; never-ordered parts keep sentinel 0
+    (J6 analog: the reference's left-outer-with-sentinel docID assignment,
+    ``geo_utilities.py:744-746`` — absent match => 0, never NULL)."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        p.join(li, p.p_partkey == li.l_partkey, "left")
+        .select("p_partkey", F.coalesce(F.col("cnt"), F.lit(0)).alias("n_orders"))
+    )
+
+
+def point_lookup_orders(spark: SparkSession, sf_dir: str, keys: tuple[int, ...] = (1, 7, 32, 100, 9999999)) -> DataFrame:
+    """Rowid point-lookup fetch (J9 analog: OR-of-ids row fetch)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey").isin(list(keys))).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+def running_sum_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running order-count per customer by date (beyond-reference window
+    capability; frames over event time)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).alias("running_orders"),
+    )
+
+
+def events_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-stream rollup by type and hour (batch view of the streaming agg)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select("event_type", "hour", "n", "sum_value")
+    )

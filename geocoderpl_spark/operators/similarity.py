@@ -1,0 +1,174 @@
+"""Similarity search over embedding columns (array<float>).
+
+- :func:`cosine_topk` — brute-force exact top-k: the correctness baseline.
+  Dot products via ``F.zip_with`` + ``F.aggregate`` (JVM-side, no UDF);
+  probe set broadcast; ``TakeOrderedAndProject``-style window top-k.
+- :func:`lsh_cosine_topk` — the scale path: random-hyperplane LSH bucketing
+  (deterministic md5-derived hyperplanes), candidates from matching buckets
+  (multi-probe over all bands), exact re-rank of candidates only. Recall<1
+  by construction; compared against the brute-force baseline by recall in
+  tests, not by hash equality.
+
+All cosine math in float64 with left-to-right summation so the DuckDB
+oracle (unnest-ordinality join, sum in element order) matches bit-for-bit
+after 6-dp rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+COS_DECIMALS = 6
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    probe_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """For each probe vector, exact top-k most-cosine-similar other vectors.
+
+    Output: (probe_id, rank, vec_id, cos). Probes broadcast; the big side
+    streams — one pass over the embedding table per query batch.
+    """
+    probes = (
+        embeddings.filter(F.col(id_col).isin(probe_ids))
+        .select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pvec"))
+    )
+    joined = embeddings.join(F.broadcast(probes), F.col(id_col) != F.col("probe_id"))
+    scored = joined.select(
+        "probe_id",
+        id_col,
+        F.round(
+            _dot(F.col(vec_col), F.col("pvec"))
+            / (_norm(F.col(vec_col)) * _norm(F.col("pvec"))),
+            COS_DECIMALS,
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", F.col("rank").cast("int").alias("rank"), id_col, "cos")
+    )
+
+
+# ---- LSH (random hyperplane) -------------------------------------------------
+
+# 16 hyperplanes -> 8 bands x 2 bits. Band width trades pruning for recall:
+# wider bands prune more but miss weakly-similar neighbors. The test
+# embeddings have weak separation (max cos ~0.4), so narrow bands are needed
+# for recall >= 0.9; on well-clustered data raise BITS_PER_BAND to 4+ for
+# much stronger pruning.
+N_PLANES = 16
+N_BANDS = 8
+BITS_PER_BAND = N_PLANES // N_BANDS
+LSH_SEED = 42
+
+
+def _hyperplanes(dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (no numpy RNG state — pure
+    hash-derived, reproducible everywhere)."""
+    import hashlib
+
+    planes = []
+    for p in range(N_PLANES):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{LSH_SEED}:{p}:{d}".encode()).hexdigest()
+            row.append((int(h[:8], 16) / 0xFFFFFFFF) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_signatures(
+    embeddings: DataFrame, dim: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(vec_id, band, key): 4-bit band keys of the 16-bit hyperplane sign
+    signature. Plane dot products are column expressions over literal arrays."""
+    planes = _hyperplanes(dim)
+    bits = [
+        F.when(_dot(F.col(vec_col), F.array(*[F.lit(v) for v in row])) > 0, 1).otherwise(0)
+        for row in planes
+    ]
+    sig = sum((b * (2**i) for i, b in enumerate(bits)), F.lit(0))
+    out = embeddings.select(F.col(id_col), sig.alias("sig"))
+    mask = (1 << BITS_PER_BAND) - 1
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(bnd).alias("band"),
+                F.shiftright(F.col("sig"), bnd * BITS_PER_BAND)
+                .bitwiseAND(F.lit(mask))
+                .alias("key"),
+            )
+            for bnd in range(N_BANDS)
+        ]
+    )
+    return out.select(id_col, F.explode(bands).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
+def lsh_cosine_topk(
+    embeddings: DataFrame,
+    probe_ids: list[int],
+    dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: LSH-bucket candidates (any shared band), exact re-rank.
+
+    At scale this replaces the full-table scan with a band-bucket equi-join
+    (the partition-pruning pattern); recall measured vs :func:`cosine_topk`.
+    """
+    sig = lsh_signatures(embeddings, dim, id_col, vec_col)
+    psig = sig.filter(F.col(id_col).isin(probe_ids)).select(
+        F.col(id_col).alias("probe_id"), "band", "key"
+    )
+    cand = (
+        sig.join(F.broadcast(psig), ["band", "key"])
+        .filter(F.col(id_col) != F.col("probe_id"))
+        .select("probe_id", id_col)
+        .distinct()
+    )
+    probes = embeddings.filter(F.col(id_col).isin(probe_ids)).select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pvec")
+    )
+    scored = (
+        cand.join(embeddings, id_col)
+        .join(F.broadcast(probes), "probe_id")
+        .select(
+            "probe_id",
+            id_col,
+            F.round(
+                _dot(F.col(vec_col), F.col("pvec"))
+                / (_norm(F.col(vec_col)) * _norm(F.col("pvec"))),
+                COS_DECIMALS,
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", F.col("rank").cast("int").alias("rank"), id_col, "cos")
+    )

@@ -1,0 +1,88 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+token counting, quality scoring, language-ID heuristic, fingerprinting.
+
+All are pure Spark column expressions (JVM codegen, no UDFs) with exact
+DuckDB-SQL twins in ``__spark_entry__.oracle_sql`` — the formulas below are
+the single source of truth for both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.tokenize import tokenize
+
+# stopword profiles for the language-ID heuristic (tiny, deterministic)
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "of", "and", "to", "in", "is", "that", "it", "for", "on"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "por", "con", "los"),
+    "de": ("der", "die", "und", "das", "ist", "von", "mit", "den", "nicht", "ein"),
+    "fr": ("le", "la", "et", "les", "des", "est", "dans", "que", "pour", "une"),
+}
+
+EN_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+def token_count(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace/punctuation token count + distinct-token count."""
+    toks = tokenize(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic document quality in [0,1]:
+
+      q = 0.4 * min(n_tokens/100, 1)            (length)
+        + 0.3 * (1 - punct_chars/chars)         (punctuation density)
+        + 0.3 * stopword_tokens/n_tokens        (natural-language-ness)
+
+    rounded to 6 dp. Empty docs score 0.
+    """
+    toks = tokenize(text_col)
+    n_tok = F.size(toks)
+    chars = F.length(text_col)
+    punct = chars - F.length(F.regexp_replace(text_col, r"[^\w\s]", ""))
+    stop = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    q = (
+        0.4 * F.least(n_tok / F.lit(100.0), F.lit(1.0))
+        + 0.3 * (1.0 - punct / F.greatest(chars, F.lit(1)))
+        + 0.3 * (stop / F.greatest(n_tok, F.lit(1)))
+    )
+    return docs.select(
+        F.col(id_col),
+        F.when(n_tok == 0, F.lit(0.0)).otherwise(F.round(q, 6)).alias("quality"),
+    )
+
+
+def _lang_score(toks: Column, lang: str) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*LANG_STOPWORDS[lang])))
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """n-gram/stopword language-ID heuristic: argmax stopword hits over the
+    four profiles, ties broken by profile order (en, es, de, fr); 'und'
+    (undetermined) when no profile matches at all."""
+    toks = tokenize(text_col)
+    scores = [(_lang_score(toks, lg).alias(f"s_{lg}"), lg) for lg in LANG_STOPWORDS]
+    df = docs.select(F.col(id_col), *(s for s, _ in scores))
+    best = F.greatest(*[F.col(f"s_{lg}") for lg in LANG_STOPWORDS])
+    pred = F.when(best == 0, F.lit("und"))
+    for lg in LANG_STOPWORDS:  # first max wins (deterministic tie-break)
+        pred = pred.when(F.col(f"s_{lg}") == best, F.lit(lg))
+    return df.select(F.col(id_col), pred.alias("pred_lang"))
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Canonical document fingerprint: md5 of the normalized token stream.
+
+    Reference analog: the per-row invariant/content-identity idea (sha256
+    input_hint); canonicalization makes it robust to whitespace/punctuation
+    formatting, unlike raw content hashing.
+    """
+    canon = F.array_join(tokenize(text_col), " ")
+    return docs.select(F.col(id_col), F.md5(canon).alias("fingerprint"))

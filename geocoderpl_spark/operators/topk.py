@@ -191,6 +191,45 @@ def _best_partial(acc_scores, lo, hi):
     return np.where(hi > lo, m, 0.0)
 
 
+def bm25_topk_direct(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact BM25 top-k straight off the corpus (no persisted index): the
+    one-shot batch-query plan. Same math/rounding/tie-break as the indexed
+    paths, so all three are rank-identical.
+
+    docs: (id_col, text_col); queries: (query_id, query_text, k).
+    """
+    from ..functions.bm25 import tfnorm_col
+    from .postings import term_frequencies, tokenized_docs
+
+    spark = docs.sparkSession
+    tok = tokenized_docs(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("content"))
+    )
+    row = tok.agg(F.count(F.lit(1)).alias("n"), F.avg("doclen").alias("avgdl")).collect()[0]
+    n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
+    tf = term_frequencies(tok)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qterms = tokenize_queries(queries)
+    gated = qterms.join(F.broadcast(dfreq), "term").withColumn(
+        "idf", idf_col(F.col("df"), n_docs)
+    )
+    scored = (
+        tf.join(F.broadcast(gated), "term")
+        .withColumn(
+            "contrib",
+            F.col("qtf") * F.col("idf") * tfnorm_col(F.col("tf"), F.col("doclen"), avgdl),
+        )
+        .groupBy("query_id", "k", "doc_id")
+        .agg(F.round(F.sum("contrib"), SCORE_DECIMALS).alias("score"))
+    )
+    return _topk_window(scored)
+
+
 def query_topk_pruned(
     postings: DataFrame,
     terms: DataFrame,

@@ -36,8 +36,8 @@ from ..operators.postings import (
     N_BUCKETS,
     build_postings,
     build_terms,
-    term_frequencies,
-    tokenized_docs,
+    docstats_pandas,
+    term_frequencies_pandas,
 )
 
 STAGES = ("docstats", "tf", "terms", "postings", "meta")
@@ -77,7 +77,10 @@ class InvertedIndex:
 
     @classmethod
     def load(cls, spark: SparkSession, root: str) -> "InvertedIndex":
-        meta = spark.read.parquet(os.path.join(root, "meta")).collect()[0]
+        import json
+
+        with open(os.path.join(root, "meta", "meta.json")) as f:
+            meta = json.load(f)
         return cls(
             root=root,
             spark=spark,
@@ -100,13 +103,17 @@ def build_index(
     n_buckets: int = N_BUCKETS,
     partitions: int | None = None,
     key_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    id_col: str | None = None,
+    content_col: str = "content",
 ) -> InvertedIndex:
     """Build (or resume building) the index for ``corpus`` at ``out_dir``.
 
     The *logical* index (doc_ids, term_ids, decoded postings, scores) is
-    deterministic given the corpus — independent of partition count and of
-    range-sampling (SURVEY.md §7.4 #5). Physical block boundaries follow the
-    run's range partitioning; queries are invariant to them.
+    deterministic given the corpus — independent of partition count
+    (SURVEY.md §7.4 #5). Physical block boundaries are deterministic given
+    (corpus, partitions): postings are hash-partitioned on (bucket,
+    doc-range slice), no sampled range boundaries anywhere, so a resumed or
+    repeated build reproduces identical segments.
     """
     partitions = partitions or spark.sparkContext.defaultParallelism
     p = {s: os.path.join(out_dir, s) for s in (*STAGES, "lineage", "metrics")}
@@ -117,20 +124,33 @@ def build_index(
         rows = fn()
         metrics.append((stage, int(rows), int((time.time() - t0) * 1000), "built"))
 
-    # stage 1: docstats (+doc_id) ------------------------------------------
+    join_cols = [id_col] if id_col else list(key_cols)
+    # metadata columns carried into docstats (everything except payload)
+    meta_cols = [
+        c for c in corpus.columns
+        if c not in (content_col, "sha256", "doc_id", "tokens", "doclen")
+    ]
+
+    # stages 1+2: docstats + tf checkpoint -----------------------------------
+    # Two pipelined Arrow-kernel passes, deliberately NOT sharing a cached
+    # tokenized frame (caching array<string> tokens materializes tens of
+    # millions of small JVM objects — a GC storm that *worsens* with
+    # parallelism: measured 38s@8c -> 68s@32c on 100k docs). Tokenization
+    # runs in pandas kernels (north_star: "tokenize -> term-docID pairs
+    # inside vectorized pandas/Arrow UDFs"): python re is ~10x faster than
+    # Spark's regexp expressions on match-heavy text, and tf needs no
+    # shuffle at all (per-doc local counting).
     if not _done(p["docstats"]):
         def s1():
-            docs = assign_doc_ids(corpus, list(key_cols), partitions)
-            tok = tokenized_docs(docs)
-            stats = tok.select(
-                "doc_id", *key_cols, "lang", "doclen",
-                F.coalesce(F.col("sha256"), F.sha2(F.col("content"), 256)).alias("sha256")
-                if "sha256" in corpus.columns
-                else F.sha2(F.col("content"), 256).alias("sha256"),
-            )
-            stats.write.mode("overwrite").parquet(p["docstats"])
+            if id_col:
+                docs = corpus.withColumn("doc_id", F.col(id_col).cast("long"))
+            else:
+                docs = assign_doc_ids(corpus, list(key_cols), partitions)
+            docstats_pandas(
+                docs, [c for c in meta_cols if c != id_col], content_col
+            ).write.mode("overwrite").parquet(p["docstats"])
             _unpersist(docs)
-            return spark.read.parquet(p["docstats"]).count()
+            return -1
 
         timed("docstats", s1)
     else:
@@ -138,15 +158,18 @@ def build_index(
 
     docstats = spark.read.parquet(p["docstats"])
 
-    # stage 2: tf checkpoint ----------------------------------------------
     if not _done(p["tf"]):
         def s2():
-            # re-derive tokens from corpus joined to the persisted doc_ids so
-            # the stage is a pure function of checkpointed state
-            docs = corpus.join(docstats.select("doc_id", *key_cols), list(key_cols))
-            tf = term_frequencies(tokenized_docs(docs))
-            tf.write.mode("overwrite").parquet(p["tf"])
-            return spark.read.parquet(p["tf"]).count()
+            # doc_ids come from the checkpointed docstats (pure function of
+            # persisted state; also what resume semantics require)
+            if id_col:
+                docs = corpus.withColumn("doc_id", F.col(id_col).cast("long"))
+            else:
+                docs = corpus.join(docstats.select("doc_id", *join_cols), join_cols)
+            term_frequencies_pandas(docs, content_col).write.mode("overwrite").parquet(
+                p["tf"]
+            )
+            return -1
 
         timed("tf", s2)
     else:
@@ -160,7 +183,7 @@ def build_index(
             t = build_terms(tf)
             t.write.mode("overwrite").parquet(p["terms"])
             _unpersist(t)
-            return spark.read.parquet(p["terms"]).count()
+            return -1
 
         timed("terms", s3)
     else:
@@ -177,19 +200,26 @@ def build_index(
     # stage 5: postings ------------------------------------------------------
     if not _done(p["postings"]):
         def s5():
-            blocks = build_postings(tf, terms, avgdl, n_buckets, partitions)
+            blocks = build_postings(tf, terms, avgdl, n_buckets, partitions, n_docs=n_docs)
             blocks.write.mode("overwrite").partitionBy("bucket").parquet(p["postings"])
-            return spark.read.parquet(p["postings"]).count()
+            return -1
 
         timed("postings", s5)
     else:
         metrics.append(("postings", -1, 0, "resumed"))
 
-    if not _done(p["meta"]):
-        spark.createDataFrame(
-            [(n_docs, avgdl, n_buckets, partitions)],
-            "n_docs long, avgdl double, n_buckets int, partitions int",
-        ).write.mode("overwrite").parquet(p["meta"])
+    # meta + metrics are driver-side JSON: one-row tables don't warrant a
+    # Spark job each (every sequential job adds fixed latency to the build)
+    import json
+
+    if not os.path.exists(os.path.join(p["meta"], "meta.json")):
+        os.makedirs(p["meta"], exist_ok=True)
+        with open(os.path.join(p["meta"], "meta.json"), "w") as f:
+            json.dump(
+                {"n_docs": n_docs, "avgdl": avgdl, "n_buckets": n_buckets,
+                 "partitions": partitions},
+                f,
+            )
 
     # lineage: per-bucket block/posting/term counts --------------------------
     postings = spark.read.parquet(p["postings"])
@@ -203,9 +233,11 @@ def build_index(
         .write.mode("overwrite")
         .parquet(p["lineage"])
     )
-    spark.createDataFrame(
-        metrics, "stage string, rows_out long, wall_ms long, status string"
-    ).write.mode("append").parquet(p["metrics"])
+    os.makedirs(p["metrics"], exist_ok=True)
+    with open(os.path.join(p["metrics"], "metrics.jsonl"), "a") as f:
+        for stage, rows, wall_ms, status in metrics:
+            f.write(json.dumps({"stage": stage, "rows_out": rows,
+                                "wall_ms": wall_ms, "status": status}) + "\n")
 
     return InvertedIndex(
         root=out_dir, spark=spark, n_docs=n_docs, avgdl=avgdl, n_buckets=n_buckets

@@ -1,0 +1,172 @@
+"""Incremental (LSM-style) index maintenance with Structured Streaming.
+
+Design — the Lucene/LSM segment model re-expressed in Spark:
+
+- ``readStream`` watches a corpus directory; every micro-batch becomes a new
+  immutable *segment* (its own docstats/tf/terms/postings built by the same
+  batch plan, so all invariants and tests carry over).
+- Queries run against the union of segments: BM25 global stats (N, avgdl,
+  df) are aggregated *across* segments at query time — per-segment df sums
+  exactly to corpus df, so scores equal a from-scratch build bit-for-bit.
+- ``merge_segments`` is the LSM compaction: union the segments' tf
+  checkpoints and rebuild one segment (SURVEY.md §7.2 step 6; analog of the
+  reference's build-once pickle rewrite, ``xml_parsers.py:379-381``).
+
+doc_id uniqueness across segments comes from a per-segment ``doc_base``
+offset (monotonic count of docs in prior segments) — the distributed version
+of the reference's serial global offset (``xml_parsers.py:513``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.topk import (
+    SCORE_DECIMALS,
+    _topk_window,
+    gate_terms,
+    tokenize_queries,
+)
+from ..plans.build import InvertedIndex, build_index
+
+
+class SegmentedIndex:
+    """A queryable set of index segments under ``root`` (seg_00000, ...)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def segments(self) -> list[InvertedIndex]:
+        segs = sorted(
+            d for d in os.listdir(self.root)
+            if d.startswith("seg_")
+            and os.path.exists(os.path.join(self.root, d, "meta", "meta.json"))
+        )
+        return [InvertedIndex.load(self.spark, os.path.join(self.root, d)) for d in segs]
+
+    def global_stats(self) -> tuple[int, float]:
+        segs = self.segments()
+        n = sum(s.n_docs for s in segs)
+        total_len = sum(s.avgdl * s.n_docs for s in segs)
+        return n, (total_len / n if n else 0.0)
+
+    def terms_union(self) -> DataFrame:
+        """Global term dictionary: df/cf summed across segments."""
+        dfs = [s.terms.select("term", "df", "cf") for s in self.segments()]
+        u = dfs[0]
+        for d in dfs[1:]:
+            u = u.unionByName(d)
+        return u.groupBy("term").agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+
+    def topk(self, queries: DataFrame) -> DataFrame:
+        """Exact BM25 over the segment union — rank-identical to a
+        from-scratch single-index build on the same docs."""
+        from ..functions.bm25 import tfnorm_col
+        from ..operators.postings import decode_postings
+
+        segs = self.segments()
+        n_docs, avgdl = self.global_stats()
+        gterms = self.terms_union()
+        qterms = tokenize_queries(queries)
+        gated = gate_terms(
+            qterms, gterms.withColumn("term_id", F.lit(0)), n_docs
+        ).drop("term_id")
+        rows = None
+        for s in segs:
+            tids = F.broadcast(
+                s.terms.join(gated.select("term").distinct(), "term").select("term", "term_id")
+            )
+            r = decode_postings(s.postings.join(tids.select("term_id"), "term_id")).join(
+                tids, "term_id"
+            )
+            rows = r if rows is None else rows.unionByName(r)
+        scored = (
+            rows.join(F.broadcast(gated), "term")
+            .withColumn(
+                "contrib",
+                F.col("qtf") * F.col("idf") * tfnorm_col(F.col("tf"), F.col("doclen"), avgdl),
+            )
+            .groupBy("query_id", "k", "doc_id")
+            .agg(F.round(F.sum("contrib"), SCORE_DECIMALS).alias("score"))
+        )
+        return _topk_window(scored)
+
+
+def start_incremental_indexer(
+    spark: SparkSession,
+    stream_dir: str,
+    index_root: str,
+    corpus_schema: str,
+    id_col: str | None = None,
+    content_col: str = "content",
+    key_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    n_buckets: int = 16,
+    max_files_per_trigger: int | None = None,
+):
+    """readStream over ``stream_dir`` -> one index segment per micro-batch.
+
+    Returns the StreamingQuery; drive it with trigger(availableNow) +
+    ``awaitTermination`` in tests, or leave running for continuous ingest.
+    """
+    os.makedirs(index_root, exist_ok=True)
+
+    def handle_batch(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        seg_dir = os.path.join(index_root, f"seg_{epoch_id:05d}")
+        segs = SegmentedIndex(spark, index_root).segments()
+        doc_base = sum(s.n_docs for s in segs)
+        if id_col is None:
+            # offset new docs past all existing segments
+            from ..operators.docids import assign_doc_ids
+
+            docs = assign_doc_ids(batch, list(key_cols)).withColumn(
+                "doc_id", F.col("doc_id") + F.lit(doc_base)
+            )
+            build_index(
+                spark, docs, seg_dir, n_buckets=n_buckets,
+                id_col="doc_id", content_col=content_col,
+            )
+        else:
+            build_index(
+                spark, batch, seg_dir, n_buckets=n_buckets,
+                id_col=id_col, content_col=content_col,
+            )
+
+    rs = spark.readStream.schema(corpus_schema)
+    if max_files_per_trigger:
+        rs = rs.option("maxFilesPerTrigger", max_files_per_trigger)
+    reader = rs.parquet(stream_dir)
+    return (
+        reader.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", os.path.join(index_root, "_stream_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def merge_segments(spark: SparkSession, index_root: str, out_dir: str, n_buckets: int = 16) -> InvertedIndex:
+    """LSM compaction: union segment tf checkpoints -> one merged segment.
+
+    Pure dataflow over checkpointed state (no re-tokenization); produces the
+    same index a from-scratch build would.
+    """
+    seg = SegmentedIndex(spark, index_root)
+    segs = seg.segments()
+    tf = None
+    stats = None
+    for s in segs:
+        t = spark.read.parquet(os.path.join(s.root, "tf"))
+        d = s.docstats
+        tf = t if tf is None else tf.unionByName(t)
+        stats = d if stats is None else stats.unionByName(d, allowMissingColumns=True)
+    os.makedirs(out_dir, exist_ok=True)
+    stats.write.mode("overwrite").parquet(os.path.join(out_dir, "docstats"))
+    tf.write.mode("overwrite").parquet(os.path.join(out_dir, "tf"))
+    # delegate the rest to the batch plan (terms/postings/meta/lineage)
+    dummy = spark.createDataFrame([], "doc_id long, content string")
+    return build_index(spark, dummy, out_dir, n_buckets=n_buckets, id_col="doc_id")

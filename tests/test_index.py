@@ -147,9 +147,12 @@ def test_resume_rebuilds_identical_postings(spark, index, tmp_path):
         .reset_index(drop=True)
     )
     assert before.equals(after)
-    m = spark.read.parquet(os.path.join(index.root, "metrics")).toPandas()
-    resumed = m[m.status == "resumed"].stage.unique()
-    assert {"docstats", "tf", "terms"} <= set(resumed)
+    import json
+
+    with open(os.path.join(index.root, "metrics", "metrics.jsonl")) as f:
+        m = [json.loads(line) for line in f]
+    resumed = {r["stage"] for r in m if r["status"] == "resumed"}
+    assert {"docstats", "tf", "terms"} <= resumed
 
 
 def test_build_deterministic_across_parallelism(spark, tmp_path):

@@ -1,0 +1,133 @@
+"""Training-data pipeline ops: dedup family, similarity search, text stats,
+multimodal plumbing — unit-level invariants (oracle parity is covered by
+scripts/check_oracle.py + the driver's CORRECTNESS gate)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+        (2, "completely different content about spark engines"),
+        (3, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+        (4, "short doc"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    from geocoderpl_spark.operators.dedup import exact_dedup
+
+    got = {r.doc_id: r.n_dups for r in exact_dedup(docs).collect()}
+    assert got[0] == 2 and 3 not in got
+    assert got[1] == 1 and got[2] == 1
+
+
+def test_ngram_jaccard(spark, docs):
+    from geocoderpl_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard_pairs(docs, 3, 0.5).collect()}
+    assert (0, 3) in pairs and pairs[(0, 3)] == 1.0
+    assert (0, 1) in pairs and 0.5 <= pairs[(0, 1)] < 1.0
+    assert (1, 3) in pairs
+    assert not any(2 in p or 4 in p or 5 in p for p in pairs)
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    from geocoderpl_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs, 3, 0.5).collect()}
+    assert (0, 3) in pairs  # exact dup always collides in every band
+
+
+def test_simhash_exact_dup_zero_distance(spark, docs):
+    from geocoderpl_spark.operators.dedup import simhash_pairs
+
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_pairs(docs, 3).collect()}
+    assert pairs[(0, 3)] == 0
+
+
+def test_shingles_short_doc_empty(spark, docs):
+    from geocoderpl_spark.operators.dedup import shingles
+
+    got = shingles(docs.filter(F.col("doc_id").isin([4, 5])), 3).collect()
+    assert got == []  # 2 tokens and 0 tokens -> no 3-shingles
+
+
+def test_cosine_topk_self_similarity(spark):
+    from geocoderpl_spark.operators.similarity import cosine_topk
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.01, 0.0]),   # nearly parallel to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = cosine_topk(emb, [0], k=3).orderBy("rank").collect()
+    assert [r.vec_id for r in got] == [1, 2, 3]
+    assert got[0].cos > 0.999 and got[2].cos == -1.0
+
+
+def test_lsh_recall_vs_bruteforce(spark):
+    """LSH ANN must recover most of the exact top-k on the real embeddings."""
+    from geocoderpl_spark.operators.similarity import cosine_topk, lsh_cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probes = [0, 1, 2, 3, 4]
+    exact = cosine_topk(emb, probes, k=5).toPandas()
+    approx = lsh_cosine_topk(emb, probes, dim=64, k=5).toPandas()
+    hits = tot = 0
+    for p in probes:
+        e = set(exact[exact.probe_id == p].vec_id)
+        a = set(approx[approx.probe_id == p].vec_id)
+        hits += len(e & a)
+        tot += len(e)
+    assert hits / tot >= 0.5, f"LSH recall {hits}/{tot}"
+
+
+def test_multimodal_decode_plumbing(spark):
+    from geocoderpl_spark.operators.multimodal import (
+        FEATURE_DIM,
+        decode_features,
+        resize_images,
+        sample_frames,
+        synth_media,
+    )
+
+    media = synth_media(spark, 30)
+    feats = decode_features(media).collect()
+    assert len(feats) == 30
+    assert all(len(r.features) == FEATURE_DIM for r in feats)
+    # deterministic: same payload -> same features
+    f2 = decode_features(media).collect()
+    assert {r.media_id: r.features for r in feats} == {r.media_id: r.features for r in f2}
+    with pytest.raises(NotImplementedError):
+        decode_features(media, real_decode=True)
+
+    rs = resize_images(media, 128).filter(F.col("kind") == "image").collect()
+    assert all(max(r.target_width, r.target_height) <= 128 for r in rs)
+    assert all(r.target_width >= 1 and r.target_height >= 1 for r in rs)
+
+    fr = sample_frames(media, 1000)
+    one = fr.groupBy("media_id").count().collect()
+    meta = {r.media_id: r.duration_ms for r in media.filter("kind = 'video'").collect()}
+    for r in one:
+        assert r["count"] == (meta[r.media_id] + 999) // 1000
+
+
+def test_quality_and_langid_bounds(spark, docs):
+    from geocoderpl_spark.operators.textstats import lang_id, quality_score
+
+    q = {r.doc_id: r.quality for r in quality_score(docs).collect()}
+    assert all(0.0 <= v <= 1.0 for v in q.values())
+    assert q[5] == 0.0
+    langs = {r.doc_id: r.pred_lang for r in lang_id(docs).collect()}
+    assert langs[0] == "en"
+    assert langs[5] == "und"

