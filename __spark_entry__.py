@@ -250,6 +250,35 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_type_rollup(spark, sf_dir)
 
 
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geocoderpl_spark.operators.relational import events_sessionize
+
+    return events_sessionize(spark, sf_dir)
+
+
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geocoderpl_spark.operators.relational import events_json_props
+
+    return events_json_props(spark, sf_dir)
+
+
+ROUTER_QUERIES: list[tuple[int, str]] = [
+    (0, "spark query join"),
+    (1, "52.2297, 21.0122"),
+    (2, "-33.86 151.21"),
+    (3, "...,,,!!!"),
+    (4, ""),
+    (5, "table 52.1"),
+]
+
+
+def q_fts_query_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geocoderpl_spark.operators.textstats import query_router
+
+    q = spark.createDataFrame(ROUTER_QUERIES, "query_id long, query_text string")
+    return query_router(q)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -282,6 +311,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_point_lookup": q_rel_point_lookup,
         "rel_running_window": q_rel_running_window,
         "events_rollup": q_events_rollup,
+        "events_sessionize": q_events_sessionize,
+        "events_json_props": q_events_json_props,
+        "fts_query_router": q_fts_query_router,
     }
 
 
@@ -415,6 +447,33 @@ FROM orders
 SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n,
        (sum(value::DECIMAL(18,4)))::DOUBLE AS sum_value
 FROM events GROUP BY event_type, date_trunc('hour', ts)
+""",
+        "events_sessionize": """
+WITH flagged AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+)
+SELECT user_id, sum(new_sess)::BIGINT AS n_sessions, count(*) AS n_events
+FROM flagged GROUP BY user_id
+""",
+        "events_json_props": """
+SELECT event_type,
+       sum(regexp_extract(props, '"k":\\s*(\\d+)', 1)::BIGINT)::BIGINT AS sum_k,
+       max(regexp_extract(props, '"k":\\s*(\\d+)', 1)::BIGINT) AS max_k,
+       count(*) AS n
+FROM events GROUP BY event_type
+""",
+        "fts_query_router": f"""
+WITH q(query_id, query_text) AS (VALUES {", ".join(f"({i}, '{t}')" for i, t in ROUTER_QUERIES)})
+SELECT query_id::BIGINT AS query_id,
+  CASE
+    WHEN regexp_matches(query_text, '^\\s*-?\\d+[.,]\\d+[\\s,]+-?\\d+[.,]\\d+\\s*$') THEN 'coords'
+    WHEN len({_duck_toks('query_text')}) = 0 THEN 'empty'
+    ELSE 'text' END AS route
+FROM q
 """,
     }
 

@@ -48,15 +48,38 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 def shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Distinct n-token shingles per doc: (doc_id, shingle)."""
-    toks = tokenize(text_col)
-    # guard: sequence(0, -1) would generate a *descending* sequence in Spark,
-    # so short docs (< n tokens) must yield an empty shingle set explicitly
-    idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
-    ).otherwise(F.array().cast("array<int>"))
-    sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
-    return docs.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
+    """Distinct n-token shingles per doc: (doc_id, shingle).
+
+    Arrow pandas kernel — the column-expression formulation (transform +
+    slice + array_join HOFs) runs interpreted per element in Spark and
+    measured ~10x slower; the python kernel also reuses the exact tokenizer
+    spec (tokenize_py) the oracle replicates.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..functions.tokenize import tokenize_py
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, shs = [], []
+            for doc_id, text in zip(pdf[id_col].to_numpy(), pdf[text_col]):
+                toks = tokenize_py(text)
+                uniq = set(
+                    " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+                )
+                ids.append(np.full(len(uniq), doc_id, dtype=np.int64))
+                shs.extend(uniq)
+            if not ids:
+                continue
+            yield pd.DataFrame({id_col: np.concatenate(ids), "shingle": shs})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        fn, schema=f"{id_col} long, shingle string"
+    )
 
 
 def ngram_jaccard_pairs(
@@ -76,7 +99,9 @@ def ngram_jaccard_pairs(
     pairs still share a rarer shingle — at threshold>=0.5 near-dups always
     do in practice; the oracle applies the same cap).
     """
-    sh = shingles(docs, n, text_col, id_col)
+    # persist: the shingle relation feeds sizes + both join sides (3 uses);
+    # without it each use re-runs tokenization
+    sh = shingles(docs, n, text_col, id_col).persist()
     if max_shingle_df:
         hot = sh.groupBy("shingle").count().filter(F.col("count") > max_shingle_df)
         sh = sh.join(hot.select("shingle"), "shingle", "left_anti")
@@ -154,7 +179,7 @@ def minhash_lsh_pairs(
     Fully deterministic; the oracle replicates signatures, banding, and
     verification, so results hash-match exactly.
     """
-    sh = shingles(docs, n, text_col, id_col)
+    sh = shingles(docs, n, text_col, id_col).persist()
     sig = minhash_signatures(sh, id_col)
     bands = (
         sig.withColumn("band", (F.col("i") / LSH_ROWS_PER_BAND).cast("int"))

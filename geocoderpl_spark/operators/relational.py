@@ -111,6 +111,47 @@ def running_sum_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user's
+    inter-event gap exceeds ``gap_minutes`` (lag + cumulative-sum pattern;
+    beyond-reference streaming-adjacent capability, batch view)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; cast via TIMESTAMP (session tz pinned to UTC) to
+    # get epoch seconds identical to the oracle's epoch()
+    sec = F.col("ts").cast("timestamp").cast("long")
+    gap = sec - F.lag(sec).over(w)
+    flagged = e.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > gap_minutes * 60), F.lit(1)).otherwise(F.lit(0)),
+    )
+    return (
+        flagged.groupBy("user_id")
+        .agg(
+            F.sum("new_sess").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "n_sessions", "n_events")
+    )
+
+
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction from the ``props`` string column (reference
+    analog: GeoJSON parse, ``geo_gui.py:318``) + rollup."""
+    e = _t(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1).cast("long")
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("k")).alias("sum_k"),
+            F.max(F.col("k")).alias("max_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("event_type", "sum_k", "max_k", "n")
+    )
+
+
 def events_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-stream rollup by type and hour (batch view of the streaming agg)."""
     e = _t(spark, sf_dir, "events")

@@ -77,6 +77,28 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return df.select(F.col(id_col), pred.alias("pred_lang"))
 
 
+COORD_PATTERN = r"^\s*-?\d+[.,]\d+[\s,]+-?\d+[.,]\d+\s*$"
+
+
+def query_router(queries: DataFrame, text_col: str = "query_text") -> DataFrame:
+    """Classify raw query strings before dispatch (reference P10: the GUI
+    regex-routes coordinate-shaped input to reverse geocoding instead of the
+    text index, ``geo_gui.py:31,203-218,251``).
+
+    Classes: 'coords' (two decimal numbers), 'empty' (no tokens after
+    normalization), 'text' (everything else -> BM25 path).
+    """
+    from ..functions.tokenize import tokenize
+
+    return queries.select(
+        "query_id",
+        F.when(F.regexp_like(F.col(text_col), F.lit(COORD_PATTERN)), "coords")
+        .when(F.size(tokenize(text_col)) == 0, "empty")
+        .otherwise("text")
+        .alias("route"),
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Canonical document fingerprint: md5 of the normalized token stream.
 

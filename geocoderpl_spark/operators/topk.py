@@ -67,17 +67,43 @@ def _topk_window(scored: DataFrame) -> DataFrame:
     )
 
 
+def _pruned_scan(postings: DataFrame, term_ids: list[int], n_buckets: int | None) -> DataFrame:
+    """Literal-filter posting scan: `bucket IN (...)` prunes partition
+    directories and `term_id IN (...)` hits Parquet row-group min/max stats
+    (postings are sorted by term_id within each bucket file). This is the
+    reference's partition-pruning fetch (J4/O4: 9 of 40,000 sectors) —
+    a join-based prune would not reach PushedFilters."""
+    cond = F.col("term_id").isin(term_ids)
+    if n_buckets:
+        buckets = sorted({tid_bucket(t, n_buckets) for t in term_ids})
+        cond = F.col("bucket").isin(buckets) & cond
+    return postings.filter(cond)
+
+
+def tid_bucket(term_id: int, n_buckets: int) -> int:
+    """Driver-side twin of the build's bucket assignment
+    (pmod(xxhash64(term_id), n_buckets)) — parity in tests/test_xxhash.py."""
+    from ..functions.xxhash import xxhash64_long
+
+    return xxhash64_long(term_id, seed=42) % n_buckets
+
+
 def query_topk_exact(
     postings: DataFrame,
     terms: DataFrame,
     queries: DataFrame,
     n_docs: int,
     avgdl: float,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Distributed exact BM25 top-k. queries: (query_id, query_text, k)."""
     gated = gate_terms(tokenize_queries(queries), terms, n_docs)
-    tids = gated.select("term_id").distinct()
-    cand = postings.join(F.broadcast(tids), "term_id")  # pruned scan
+    # the gated term set is tiny (distinct query terms); collecting it turns
+    # the posting prune into literal pushed filters
+    tids = [r["term_id"] for r in gated.select("term_id").distinct().collect()]
+    if not tids:
+        return postings.sparkSession.createDataFrame([], TOPK_SCHEMA)
+    cand = _pruned_scan(postings, tids, n_buckets)
     rows = decode_postings(cand)
     from ..functions.bm25 import tfnorm_col
 
@@ -236,13 +262,50 @@ def query_topk_pruned(
     queries: DataFrame,
     n_docs: int,
     avgdl: float,
+    term_lookup: dict | None = None,
+    n_buckets: int | None = None,
 ) -> DataFrame:
-    """Serving path: per-query block-max MaxScore kernel."""
-    gated = gate_terms(tokenize_queries(queries), terms, n_docs)
-    tids = gated.select("term_id").distinct()
-    cand = postings.join(F.broadcast(tids), "term_id").join(
-        F.broadcast(gated), "term_id"
-    )
+    """Serving path: per-query block-max MaxScore kernel.
+
+    With ``term_lookup`` (term -> (term_id, df), collected once at
+    ``InvertedIndex.serve()``), the dictionary gate and query tokenization
+    run driver-side — the reference's design exactly (vocabulary resident in
+    the GUI process, ``geo_gui.py:36-37,172``): a query touches Spark only
+    for the pruned posting scan + one groupBy. Without it, the gate is a
+    distributed broadcast join (batch-friendly).
+    """
+    spark = postings.sparkSession
+    if term_lookup is not None:
+        import math
+
+        from ..functions.tokenize import tokenize_py
+
+        rows = []
+        for q in queries.collect():
+            counts: dict[str, int] = {}
+            for t in tokenize_py(q["query_text"]):
+                counts[t] = counts.get(t, 0) + 1
+            for t, qtf in counts.items():
+                hit = term_lookup.get(t)
+                if hit is None:  # vocabulary gate: unknown term, no scan
+                    continue
+                tid, df = hit
+                idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                rows.append((q["query_id"], int(q["k"]), tid, qtf, float(idf)))
+        if not rows:
+            return spark.createDataFrame([], TOPK_SCHEMA)
+        gated = spark.createDataFrame(
+            rows, "query_id long, k int, term_id long, qtf long, idf double"
+        )
+        cand = _pruned_scan(postings, [r[2] for r in rows], n_buckets).join(
+            F.broadcast(gated), "term_id"
+        )
+    else:
+        gated = gate_terms(tokenize_queries(queries), terms, n_docs)
+        tids = [r["term_id"] for r in gated.select("term_id").distinct().collect()]
+        if not tids:
+            return spark.createDataFrame([], TOPK_SCHEMA)
+        cand = _pruned_scan(postings, tids, n_buckets).join(F.broadcast(gated), "term_id")
     out = cand.groupBy("query_id").applyInPandas(_pruned_kernel(avgdl), schema=TOPK_SCHEMA)
     # queries whose terms are all unknown produce no group -> naturally empty
     return out

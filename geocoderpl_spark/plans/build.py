@@ -89,11 +89,38 @@ class InvertedIndex:
             n_buckets=int(meta["n_buckets"]),
         )
 
+    _terms_cached: DataFrame | None = None
+    _postings_cached: DataFrame | None = None
+    _term_lookup: dict | None = None
+
+    def serve(self) -> "InvertedIndex":
+        """Pin posting blocks in executor memory and the term dictionary in
+        the driver for low-latency serving (reference analog: the GUI keeps
+        the vocabulary string and sector index resident,
+        ``geo_gui.py:36-43``). Idempotent."""
+        if self._postings_cached is None:
+            self._postings_cached = self.postings.persist()
+            self._postings_cached.count()
+            self._terms_cached = self.terms.persist()
+            self._term_lookup = {
+                r["term"]: (r["term_id"], r["df"]) for r in self._terms_cached.collect()
+            }
+        return self
+
     def topk(self, queries: DataFrame, mode: str = "exact") -> DataFrame:
         from ..operators.topk import query_topk_exact, query_topk_pruned
 
-        fn = query_topk_exact if mode == "exact" else query_topk_pruned
-        return fn(self.postings, self.terms, queries, self.n_docs, self.avgdl)
+        postings = self._postings_cached if self._postings_cached is not None else self.postings
+        terms = self._terms_cached if self._terms_cached is not None else self.terms
+        if mode == "exact":
+            return query_topk_exact(
+                postings, terms, queries, self.n_docs, self.avgdl,
+                n_buckets=self.n_buckets,
+            )
+        return query_topk_pruned(
+            postings, terms, queries, self.n_docs, self.avgdl,
+            term_lookup=self._term_lookup, n_buckets=self.n_buckets,
+        )
 
 
 def build_index(
