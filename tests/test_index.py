@@ -167,6 +167,17 @@ def test_build_deterministic_across_parallelism(spark, tmp_path):
     assert ra.equals(rb)
 
 
+def test_double_build_byte_identical(spark, tmp_path):
+    """Same corpus + same partitions => byte-identical postings (hash
+    partitioning, no sampled boundaries anywhere) — FIXTURES.md §5's
+    determinism requirement, stronger than decoded-equality."""
+    a = build_index(spark, synth_corpus(spark, 400), str(tmp_path / "a"), 8, 4)
+    b = build_index(spark, synth_corpus(spark, 400), str(tmp_path / "b"), 8, 4)
+    pa = a.postings.toPandas().sort_values(["term_id", "block_id"]).reset_index(drop=True)
+    pb = b.postings.toPandas().sort_values(["term_id", "block_id"]).reset_index(drop=True)
+    assert pa.equals(pb)  # includes the compressed binary columns
+
+
 def test_lineage_counts(spark, index):
     lin = spark.read.parquet(os.path.join(index.root, "lineage")).toPandas()
     post = index.postings.toPandas()
