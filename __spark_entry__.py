@@ -279,6 +279,24 @@ def q_fts_query_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     return query_router(q)
 
 
+def q_rel_dict_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geocoderpl_spark.operators.relational import dict_decode_nations
+
+    return dict_decode_nations(spark, sf_dir)
+
+
+def q_rel_sentinel_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geocoderpl_spark.operators.relational import sentinel_casts
+
+    return sentinel_casts(spark, sf_dir)
+
+
+def q_rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geocoderpl_spark.operators.relational import rollup_pricing
+
+    return rollup_pricing(spark, sf_dir)
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -314,6 +332,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_json_props": q_events_json_props,
         "fts_query_router": q_fts_query_router,
+        "rel_dict_decode": q_rel_dict_decode,
+        "rel_sentinel_casts": q_rel_sentinel_casts,
+        "rel_rollup": q_rel_rollup,
     }
 
 
@@ -474,6 +495,26 @@ SELECT query_id::BIGINT AS query_id,
     WHEN len({_duck_toks('query_text')}) = 0 THEN 'empty'
     ELSE 'text' END AS route
 FROM q
+""",
+        "rel_dict_decode": """
+SELECT n_nationkey, n_name,
+  coalesce(CASE n_regionkey WHEN 0 THEN 'AFRICA_Z' WHEN 1 THEN 'AMERICA_Z'
+                            WHEN 2 THEN 'ASIA_Z' END, 'UNKNOWN') AS region_label
+FROM nation
+""",
+        "rel_sentinel_casts": """
+SELECT o_orderkey,
+  coalesce(try_cast(regexp_extract(o_orderpriority, '^(\\d+)', 1) AS INT), 0) AS priority_num,
+  CASE WHEN coalesce(try_cast(regexp_extract(o_orderpriority, '^(\\d+)', 1) AS INT), 0) <= 2
+       THEN 1 ELSE 0 END AS is_high_priority
+FROM orders
+""",
+        "rel_rollup": """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n,
+       (sum(l_quantity::DECIMAL(18,2)))::DOUBLE AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """,
     }
 

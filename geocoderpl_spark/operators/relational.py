@@ -111,6 +111,56 @@ def running_sum_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dict_decode_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-map dictionary decode (reference P7/S4/S5: coded values
+    mapped through broadcast dicts with '' on miss, ``xml_parsers.py:261-270``).
+    Here: region-id -> label via a literal map, sentinel 'UNKNOWN' on miss."""
+    n = _t(spark, sf_dir, "nation")
+    labels = {0: "AFRICA_Z", 1: "AMERICA_Z", 2: "ASIA_Z"}  # deliberately partial
+    mapping = F.create_map(*[F.lit(x) for kv in labels.items() for x in kv])
+    return n.select(
+        "n_nationkey",
+        "n_name",
+        F.coalesce(mapping[F.col("n_regionkey")], F.lit("UNKNOWN")).alias("region_label"),
+    )
+
+
+def sentinel_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type casts with sentinel defaults (reference P6: 'true'->1/0 and
+    numeric-string-else-0, ``xml_parsers.py:257-260``): parse the numeric in
+    o_orderpriority ('1-URGENT' -> 1), invalid -> 0; flag high priority."""
+    o = _t(spark, sf_dir, "orders")
+    num = F.coalesce(
+        F.regexp_extract("o_orderpriority", r"^(\d+)", 1).try_cast("int"),
+        F.lit(0),
+    )
+    return o.select(
+        "o_orderkey",
+        num.alias("priority_num"),
+        F.when(num <= 2, 1).otherwise(0).alias("is_high_priority"),
+    )
+
+
+def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (beyond-reference OLAP surface): per
+    (returnflag, linestatus) + per returnflag + grand total; grouping NULLs
+    replaced with 'ALL' for oracle comparability."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
 def events_sessionize(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessionization: a new session starts when a user's
     inter-event gap exceeds ``gap_minutes`` (lag + cumulative-sum pattern;
