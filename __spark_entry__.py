@@ -297,6 +297,40 @@ def q_rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup_pricing(spark, sf_dir)
 
 
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geocoderpl_spark.operators.similarity import cosine_pairs
+
+    return cosine_pairs(_emb(spark, sf_dir), threshold=0.35)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN (LSH-bucketed candidates + exact rerank). No SQL
+    oracle by design: recall < 1 vs the brute-force baseline; measured
+    against q_ann_cosine_topk in tests (rows-only check here)."""
+    from geocoderpl_spark.operators.similarity import lsh_cosine_topk
+
+    return lsh_cosine_topk(_emb(spark, sf_dir), ANN_PROBES, dim=64, k=ANN_K)
+
+
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling plan over the deterministic synthetic media
+    table (the decode itself is stubbed; the plan is real)."""
+    from geocoderpl_spark.operators.multimodal import sample_frames, synth_media
+
+    return sample_frames(synth_media(spark, 100), every_ms=1000).select(
+        "media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")
+    )
+
+
+def q_mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stubbed media decode -> feature vectors (rows-only check: the fake
+    decoder is sha256-iterated bytes, deliberately not SQL-replicable)."""
+    from geocoderpl_spark.operators.multimodal import decode_features, synth_media
+
+    out = decode_features(synth_media(spark, 60))
+    return out.select("media_id", "kind", F.size("features").alias("feature_dim"))
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -335,6 +369,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_dict_decode": q_rel_dict_decode,
         "rel_sentinel_casts": q_rel_sentinel_casts,
         "rel_rollup": q_rel_rollup,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "mm_frame_sample": q_mm_frame_sample,
+        "mm_decode_features": q_mm_decode_features,
     }
 
 
@@ -515,6 +553,29 @@ SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        count(*) AS n,
        (sum(l_quantity::DECIMAL(18,2)))::DOUBLE AS sum_qty
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+        "dedup_embedding_cosine": """
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(list_sum(list_transform(generate_series(1, len(a.embedding)),
+                 i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) AS cos
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.35
+""",
+        # ann_lsh_topk, mm_decode_features: deliberately no oracle (approximate /
+        # non-SQL-replicable stub) -> driver records the weaker rows-only check.
+        "mm_frame_sample": """
+WITH m AS (
+  SELECT i AS media_id, ((i % 900) + 100) * 10 AS duration_ms
+  FROM generate_series(0, 99) t(i) WHERE i % 3 = 2
+)
+SELECT media_id::BIGINT AS media_id,
+       unnest(generate_series(0, duration_ms - 1, 1000))::BIGINT AS frame_ts_ms
+FROM m
 """,
     }
 

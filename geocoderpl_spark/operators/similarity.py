@@ -70,6 +70,32 @@ def cosine_topk(
     )
 
 
+def cosine_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (doc-dedup flavor): (vec_a, vec_b,
+    cos) with cos >= threshold, exact. Brute-force self-join — the
+    correctness baseline; at scale candidates come from
+    :func:`lsh_signatures` buckets first (same verify step)."""
+    a = embeddings.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    return (
+        pairs.select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                COS_DECIMALS,
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+
+
 # ---- LSH (random hyperplane) -------------------------------------------------
 
 # 16 hyperplanes -> 8 bands x 2 bits. Band width trades pruning for recall:
