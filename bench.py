@@ -33,7 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_DOCS = int(os.environ.get("BENCH_DOCS", "100000"))
+N_DOCS = int(os.environ.get("BENCH_DOCS", "200000"))
 SCALE_LEVELS = (2, 8, min(32, CPUS))
 # single-run JVMs show +-30% wall noise at high thread counts (JIT/GC
 # timing); report best-of-N steady-state throughput. 2-core runs are
@@ -133,6 +133,23 @@ def main() -> None:
     extra["bm25_query_p50_ms"] = round(
         statistics.median(lat) / len(entrymod.BM25_QUERIES) * 1000, 1
     )
+
+    # ---- batch query throughput: 200-query set through the exact path ------
+    from pyspark.sql import functions as F
+
+    vocab = [r["term"] for r in idx.terms.select("term").orderBy(F.desc("df")).limit(300).collect()]
+    batch = [
+        (i, " ".join(vocab[(i * 7 + j) % len(vocab)] for j in range(1 + i % 4)), 10)
+        for i in range(200)
+    ]
+    bq = spark.createDataFrame(batch, "query_id long, query_text string, k int")
+    idx.topk(bq, mode="exact").count()  # warm
+    t0 = time.time()
+    n_res = idx.topk(bq, mode="exact").count()
+    dt = time.time() - t0
+    timings["bm25_batch200_exact"] = round(dt, 3)
+    extra["bm25_batch_queries_per_sec"] = round(200 / dt, 1)
+    extra["bm25_batch_result_rows"] = n_res
 
     # ---- representative pipeline ops at sf ---------------------------------
     for name in ("dedup_minhash_lsh", "ann_cosine_topk", "rel_agg_pricing"):

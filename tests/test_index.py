@@ -167,6 +167,19 @@ def test_build_deterministic_across_parallelism(spark, tmp_path):
     assert ra.equals(rb)
 
 
+def test_serve_mode_rank_identical(spark, index):
+    """serve() (driver-side dictionary gate + pinned postings) must produce
+    the same results as the distributed paths."""
+    q = spark.createDataFrame(
+        [(0, "term_0001 the_hot_term", 10), (1, "zzz_unknown", 5)],
+        "query_id long, query_text string, k int",
+    )
+    exact = index.topk(q, "exact").toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    index.serve()
+    served = index.topk(q, "pruned").toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert served.equals(exact)
+
+
 def test_double_build_byte_identical(spark, tmp_path):
     """Same corpus + same partitions => byte-identical postings (hash
     partitioning, no sampled boundaries anywhere) — FIXTURES.md §5's
