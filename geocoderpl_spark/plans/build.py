@@ -228,7 +228,12 @@ def build_index(
     if not _done(p["postings"]):
         def s5():
             blocks = build_postings(tf, terms, avgdl, n_buckets, partitions, n_docs=n_docs)
-            blocks.write.mode("overwrite").partitionBy("bucket").parquet(p["postings"])
+            w = blocks.write.mode("overwrite")
+            if n_docs > 0:
+                w = w.partitionBy("bucket")
+            # zero-row partitioned writes emit no files at all -> the dir
+            # would be unreadable; a flat empty write keeps the schema
+            w.parquet(p["postings"])
             return -1
 
         timed("postings", s5)
