@@ -35,10 +35,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_DOCS = int(os.environ.get("BENCH_DOCS", "200000"))
 SCALE_LEVELS = (2, 8, min(32, CPUS))
-# single-run JVMs show +-30% wall noise at high thread counts (JIT/GC
-# timing); report best-of-N steady-state throughput. 2-core runs are
-# compute-dominated and stable -> one rep.
-SCALE_REPS = {2: 1, 8: 2, 32: 2}
+# the sandbox host drifts +-30-40% across minutes (invisible to the guest:
+# no steal ticks); interleaved reps + best-of per level sample the fast
+# windows for every level. Raw per-rep walls are published in the JSON.
+SCALE_REPS = {2: 2, 8: 2, 32: 2}
 
 
 def _spark(cpus: int):
@@ -84,7 +84,7 @@ def main() -> None:
     # ---- scaling: same input, isolated fresh processes ----------------------
     # reps are INTERLEAVED across levels (2,8,32, 8,32, ...) so slow host
     # drift hits all levels comparably; best-of wins within each level.
-    best: dict[int, float] = {}
+    reps: dict[int, list[float]] = {c: [] for c in SCALE_LEVELS}
     for rep in range(max(SCALE_REPS.values())):
         for cpus in SCALE_LEVELS:
             if rep >= SCALE_REPS.get(cpus, 1):
@@ -96,12 +96,13 @@ def main() -> None:
             line = [l for l in r.stdout.splitlines() if l.startswith("BUILD_SECONDS=")]
             if not line:
                 raise RuntimeError(f"build subprocess failed @ local[{cpus}]: {r.stderr[-2000:]}")
-            secs = float(line[0].split("=")[1])
-            best[cpus] = min(best.get(cpus, float("inf")), secs)
+            reps[cpus].append(round(float(line[0].split("=")[1]), 3))
     tput: dict[int, float] = {}
     for cpus in SCALE_LEVELS:
-        timings[f"build_{N_DOCS}_local{cpus}"] = round(best[cpus], 3)
-        tput[cpus] = N_DOCS / best[cpus]
+        best = min(reps[cpus])
+        timings[f"build_{N_DOCS}_local{cpus}"] = best
+        tput[cpus] = N_DOCS / best
+    extra["build_rep_walls"] = {str(c): reps[c] for c in SCALE_LEVELS}
     lo, hi = SCALE_LEVELS[0], SCALE_LEVELS[1]
     extra["docs_per_sec_local2"] = round(tput[2], 1)
     extra["docs_per_sec_local8"] = round(tput[8], 1)
