@@ -55,7 +55,7 @@ def _values_sql() -> str:
 
 # BM25 oracle: symbol-for-symbol the engine's formula (k1=1.2, b=0.75,
 # Lucene idf, 6-dp rounding before ranking, doc_id tie-break).
-_BM25_ORACLE = f"""
+_BM25_CORE = f"""
 WITH tokd AS (
   SELECT doc_id, {_duck_toks('text')} AS toks FROM documents
 ),
@@ -85,8 +85,18 @@ ranked AS (
          row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
   FROM scored
 )
+"""
+
+_BM25_FINAL = """
 SELECT query_id::BIGINT AS query_id, rnk::INT AS rank, doc_id, score
 FROM ranked WHERE rnk <= k
+"""
+
+_BM25_DOCS_FINAL = """
+SELECT r.query_id::BIGINT AS query_id, r.rnk::INT AS rank, r.doc_id, r.score,
+       d.lang, d.source, len(t.toks)::BIGINT AS doclen
+FROM ranked r JOIN documents d USING (doc_id) JOIN tokd t USING (doc_id)
+WHERE r.rnk <= r.k
 """
 
 
@@ -135,6 +145,14 @@ def q_fts_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SPIMI build -> varint blocks -> MaxScore kernel)."""
     idx = _index_for(spark, sf_dir)
     return idx.topk(_bm25_queries_df(spark), mode="pruned")
+
+
+def q_fts_bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full query lifecycle incl. the fetch phase (J9 analog): top-k hits
+    joined back to docstats for metadata."""
+    idx = _index_for(spark, sf_dir)
+    hits = idx.topk(_bm25_queries_df(spark), mode="pruned")
+    return idx.fetch(hits, cols=["lang", "source", "doclen"])
 
 
 def q_fts_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -345,6 +363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fts_bm25_topk": q_fts_bm25_topk,
         "fts_bm25_topk_indexed": q_fts_bm25_topk_indexed,
+        "fts_bm25_topk_docs": q_fts_bm25_topk_docs,
         "fts_term_stats": q_fts_term_stats,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
@@ -380,8 +399,9 @@ def oracle_sql() -> dict[str, str]:
     toks = _duck_toks("text")
     qk = ", ".join(str(int(x)) for x in ANN_PROBES)
     return {
-        "fts_bm25_topk": _BM25_ORACLE,
-        "fts_bm25_topk_indexed": _BM25_ORACLE,
+        "fts_bm25_topk": _BM25_CORE + _BM25_FINAL,
+        "fts_bm25_topk_indexed": _BM25_CORE + _BM25_FINAL,
+        "fts_bm25_topk_docs": _BM25_CORE + _BM25_DOCS_FINAL,
         "fts_term_stats": f"""
 WITH tokd AS (SELECT doc_id, {toks} AS toks FROM documents),
 tf AS (

@@ -107,6 +107,16 @@ class InvertedIndex:
             }
         return self
 
+    def fetch(self, topk: DataFrame, cols: list[str] | None = None) -> DataFrame:
+        """Row-fetch phase (reference J9/J10: rowid point-lookup after the
+        index scan, ``geo_gui.py:190-202``): join top-k hits to docstats for
+        display metadata. k rows vs the docstats table — broadcast the hits."""
+        stats = self.docstats
+        cols = cols or [c for c in stats.columns if c not in ("doc_id",)]
+        return F.broadcast(topk).join(stats, "doc_id").select(
+            "query_id", "rank", "doc_id", "score", *cols
+        )
+
     def topk(self, queries: DataFrame, mode: str = "exact") -> DataFrame:
         from ..operators.topk import query_topk_exact, query_topk_pruned
 
