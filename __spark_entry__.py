@@ -126,6 +126,21 @@ def q_fts_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INDEX_CACHE: dict[str, object] = {}
 
 
+def _corpus_fp(sf_dir: str) -> str:
+    """Fingerprint of the source parquet (names+sizes+mtimes): build_index
+    invalidates stale checkpoints when the data under sf_dir changes."""
+    import hashlib
+
+    root = os.path.join(sf_dir, "documents.parquet")
+    parts = []
+    walk = sorted(os.walk(root)) if os.path.isdir(root) else [(os.path.dirname(root), [], [os.path.basename(root)])]
+    for d, _, files in walk:
+        for fn in sorted(files):
+            st = os.stat(os.path.join(d, fn))
+            parts.append(f"{fn}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()
+
+
 def _index_for(spark: SparkSession, sf_dir: str):
     from geocoderpl_spark.plans.build import build_index
 
@@ -135,7 +150,7 @@ def _index_for(spark: SparkSession, sf_dir: str):
         )
         _INDEX_CACHE[sf_dir] = build_index(
             spark, _docs(spark, sf_dir), out, n_buckets=16, id_col="doc_id",
-            content_col="text",
+            content_col="text", corpus_fp=_corpus_fp(sf_dir),
         )
     return _INDEX_CACHE[sf_dir]
 
@@ -315,19 +330,27 @@ def q_rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup_pricing(spark, sf_dir)
 
 
-def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from geocoderpl_spark.operators.similarity import cosine_pairs
+EMB_DIM = 64
 
-    return cosine_pairs(_emb(spark, sf_dir), threshold=0.35)
+
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, scale path: LSH band-bucket candidates +
+    exact-cosine verify on candidates only (never an all-pairs join). The
+    brute-force `cosine_pairs` twin is a test-only baseline
+    (tests/test_pipeline_ops.py measures recall against it)."""
+    from geocoderpl_spark.operators.similarity import lsh_cosine_pairs
+
+    return lsh_cosine_pairs(_emb(spark, sf_dir), dim=EMB_DIM, threshold=0.35)
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN (LSH-bucketed candidates + exact rerank). No SQL
-    oracle by design: recall < 1 vs the brute-force baseline; measured
-    against q_ann_cosine_topk in tests (rows-only check here)."""
+    """Approximate ANN (LSH-bucketed candidates + exact rerank). The
+    hyperplanes are deterministic md5-derived values, so the DuckDB oracle
+    replicates signatures/banding/rerank bit-for-bit (recall < 1 vs the
+    brute-force baseline is measured separately in tests)."""
     from geocoderpl_spark.operators.similarity import lsh_cosine_topk
 
-    return lsh_cosine_topk(_emb(spark, sf_dir), ANN_PROBES, dim=64, k=ANN_K)
+    return lsh_cosine_topk(_emb(spark, sf_dir), ANN_PROBES, dim=EMB_DIM, k=ANN_K)
 
 
 def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -388,7 +411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_dict_decode": q_rel_dict_decode,
         "rel_sentinel_casts": q_rel_sentinel_casts,
         "rel_rollup": q_rel_rollup,
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "ann_lsh_topk": q_ann_lsh_topk,
         "mm_frame_sample": q_mm_frame_sample,
         "mm_decode_features": q_mm_decode_features,
@@ -540,8 +563,8 @@ FROM flagged GROUP BY user_id
 """,
         "events_json_props": """
 SELECT event_type,
-       sum(regexp_extract(props, '"k":\\s*(\\d+)', 1)::BIGINT)::BIGINT AS sum_k,
-       max(regexp_extract(props, '"k":\\s*(\\d+)', 1)::BIGINT) AS max_k,
+       sum(try_cast(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT))::BIGINT AS sum_k,
+       max(try_cast(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS max_k,
        count(*) AS n
 FROM events GROUP BY event_type
 """,
@@ -574,20 +597,48 @@ SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        (sum(l_quantity::DECIMAL(18,2)))::DOUBLE AS sum_qty
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """,
-        "dedup_embedding_cosine": """
-WITH e AS (SELECT vec_id, embedding FROM embeddings),
-p AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        "dedup_embedding_lsh": f"""
+WITH {_lsh_bands_sql()},
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b USING (band, key)
+  WHERE a.vec_id < b.vec_id
+),
+verified AS (
+  SELECT c.vec_a, c.vec_b,
          round(list_sum(list_transform(generate_series(1, len(a.embedding)),
                  i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
            / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
               * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) AS cos
-  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  FROM cand c JOIN embeddings a ON a.vec_id = c.vec_a
+              JOIN embeddings b ON b.vec_id = c.vec_b
 )
-SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.35
+SELECT vec_a, vec_b, cos FROM verified WHERE cos >= 0.35
 """,
-        # ann_lsh_topk, mm_decode_features: deliberately no oracle (approximate /
-        # non-SQL-replicable stub) -> driver records the weaker rows-only check.
+        "ann_lsh_topk": f"""
+WITH {_lsh_bands_sql()},
+cand AS (
+  SELECT DISTINCT p.vec_id AS probe_id, s.vec_id
+  FROM bands s JOIN bands p USING (band, key)
+  WHERE p.vec_id IN ({qk}) AND s.vec_id <> p.vec_id
+),
+scored AS (
+  SELECT c.probe_id, c.vec_id,
+         round(list_sum(list_transform(generate_series(1, len(e.embedding)),
+                 i -> e.embedding[i]::DOUBLE * pe.embedding[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(pe.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) AS cos
+  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+              JOIN embeddings pe ON pe.vec_id = c.probe_id
+),
+ranked AS (
+  SELECT probe_id, vec_id, cos,
+         row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rnk
+  FROM scored
+)
+SELECT probe_id, rnk::INT AS rank, vec_id, cos FROM ranked WHERE rnk <= {ANN_K}
+""",
+        # mm_decode_features oracle lives below (sha256-replicated stub).
         "mm_frame_sample": """
 WITH m AS (
   SELECT i AS media_id, ((i % 900) + 100) * 10 AS duration_ms
@@ -603,6 +654,41 @@ FROM m
 # ---------------------------------------------------------------------------
 # dedup oracles (replicate the deterministic algorithms, incl. hash params)
 # ---------------------------------------------------------------------------
+
+
+def _lsh_bands_sql(dim: int = 64) -> str:
+    """DuckDB twin of similarity.lsh_signatures: md5-derived hyperplanes ->
+    sign-bit signature -> (vec_id, band, key) rows. Constants imported from
+    the engine so the two sides cannot drift."""
+    from geocoderpl_spark.operators.similarity import (
+        BITS_PER_BAND,
+        LSH_SEED,
+        N_BANDS,
+        N_PLANES,
+    )
+
+    mask = (1 << BITS_PER_BAND) - 1
+    return f"""planes AS (
+  SELECT p, list_transform(generate_series(0, {dim - 1}), d ->
+      (('0x' || substring(md5('{LSH_SEED}:' || p || ':' || d), 1, 8))::BIGINT
+       / 4294967295.0) * 2.0 - 1.0) AS pv
+  FROM (SELECT unnest(range({N_PLANES})) AS p)
+),
+dots AS (
+  SELECT e.vec_id, pl.p,
+         list_sum(list_transform(generate_series(1, {dim}),
+             i -> e.embedding[i]::DOUBLE * pl.pv[i])) AS dot
+  FROM embeddings e CROSS JOIN planes pl
+),
+sigs AS (
+  SELECT vec_id,
+         sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS sig
+  FROM dots GROUP BY vec_id
+),
+bands AS (
+  SELECT vec_id, b AS band, (sig >> (b * {BITS_PER_BAND})) & {mask} AS key
+  FROM sigs CROSS JOIN (SELECT unnest(range({N_BANDS})) AS b)
+)"""
 
 _SHINGLES = f"""
 tokd AS (SELECT doc_id, {_duck_toks('text')} AS toks FROM documents),

@@ -245,7 +245,13 @@ def _encode_frame(pdf: pd.DataFrame, avgdl: float, np) -> Iterator[pd.DataFrame]
             "first_doc": docs[bstarts],
             "last_doc": docs[bends - 1],
             "max_tf": np.maximum.reduceat(tfs, bstarts).astype(np.int32),
-            "block_max_tfn": np.maximum.reduceat(tfn, bstarts).astype(np.float32),
+            # rounded UP one float32 ulp: the MaxScore kernel treats this as
+            # a true upper bound, and a plain float32 cast can round below
+            # the float64 max (~6e-8 rel), which could prune a top-k doc
+            "block_max_tfn": np.nextafter(
+                np.maximum.reduceat(tfn, bstarts).astype(np.float32),
+                np.float32(np.inf),
+            ),
             "doc_ids": encode_column(gaps),
             "tfs": encode_column(tfs.astype(np.uint64)),
             "dls": encode_column(dls.astype(np.uint64)),

@@ -96,6 +96,51 @@ def cosine_pairs(
     )
 
 
+def lsh_cosine_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, the **scale path**: candidates from
+    shared LSH band buckets (:func:`lsh_signatures`), exact cosine verified
+    on candidates only — never an all-pairs join. Output (vec_a, vec_b, cos)
+    with cos >= threshold; recall < 1 by LSH construction, but fully
+    deterministic (md5-derived hyperplanes), so a SQL oracle replicating the
+    same signatures matches bit-for-bit.
+
+    At 100 TB the band-bucket equi-join shuffles on (band, key); hot buckets
+    (degenerate key skew) are bounded by the band-key cardinality and AQE
+    skew-join splitting; the verify join touches only candidate pairs.
+    """
+    sig = lsh_signatures(embeddings, dim, id_col, vec_col)
+    s_a = sig.select(F.col(id_col).alias("vec_a"), "band", "key")
+    s_b = sig.select(F.col(id_col).alias("vec_b"), "band", "key")
+    cand = (
+        s_a.join(s_b, ["band", "key"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    ea = embeddings.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
+    eb = embeddings.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    verified = (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(
+                _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                COS_DECIMALS,
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+    return verified
+
+
 # ---- LSH (random hyperplane) -------------------------------------------------
 
 # 16 hyperplanes -> 8 bands x 2 bits. Band width trades pruning for recall:
@@ -127,8 +172,9 @@ def _hyperplanes(dim: int) -> list[list[float]]:
 def lsh_signatures(
     embeddings: DataFrame, dim: int, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """(vec_id, band, key): 4-bit band keys of the 16-bit hyperplane sign
-    signature. Plane dot products are column expressions over literal arrays."""
+    """(vec_id, band, key): BITS_PER_BAND-wide band keys of the 16-bit
+    hyperplane sign signature. Plane dot products are column expressions over
+    literal arrays (JVM-side, no UDF)."""
     planes = _hyperplanes(dim)
     bits = [
         F.when(_dot(F.col(vec_col), F.array(*[F.lit(v) for v in row])) > 0, 1).otherwise(0)

@@ -142,8 +142,14 @@ def build_index(
     key_cols: tuple[str, ...] = ("repo", "path", "commit"),
     id_col: str | None = None,
     content_col: str = "content",
+    corpus_fp: str | None = None,
 ) -> InvertedIndex:
     """Build (or resume building) the index for ``corpus`` at ``out_dir``.
+
+    ``corpus_fp`` is an optional caller-supplied corpus fingerprint (e.g.
+    source file names+sizes+mtimes): when it differs from the one recorded in
+    ``meta.json``, all stage checkpoints are invalidated and the index is
+    rebuilt — a resume must never serve an index built from different data.
 
     The *logical* index (doc_ids, term_ids, decoded postings, scores) is
     deterministic given the corpus — independent of partition count
@@ -155,6 +161,21 @@ def build_index(
     partitions = partitions or spark.sparkContext.defaultParallelism
     p = {s: os.path.join(out_dir, s) for s in (*STAGES, "lineage", "metrics")}
     metrics: list[tuple[str, int, int, str]] = []
+
+    # corpus-fingerprint guard: stale checkpoints from a different corpus are
+    # poison — wipe every stage, don't resume
+    import json as _json
+    import shutil
+
+    meta_file = os.path.join(p["meta"], "meta.json")
+    if os.path.exists(meta_file):
+        with open(meta_file) as f:
+            old_fp = _json.load(f).get("corpus_fp")
+        if corpus_fp is None:
+            corpus_fp = old_fp  # fp-less resume keeps the stored fingerprint
+        elif old_fp != corpus_fp:
+            for s in (*STAGES, "lineage"):
+                shutil.rmtree(p[s], ignore_errors=True)
 
     def timed(stage: str, fn):
         t0 = time.time()
@@ -254,14 +275,16 @@ def build_index(
     # Spark job each (every sequential job adds fixed latency to the build)
     import json
 
-    if not os.path.exists(os.path.join(p["meta"], "meta.json")):
-        os.makedirs(p["meta"], exist_ok=True)
-        with open(os.path.join(p["meta"], "meta.json"), "w") as f:
-            json.dump(
-                {"n_docs": n_docs, "avgdl": avgdl, "n_buckets": n_buckets,
-                 "partitions": partitions},
-                f,
-            )
+    # ALWAYS rewritten from the freshly computed stats: a stale meta.json
+    # (e.g. out_dir reused after merge_segments grew the corpus) would skew
+    # idf/tfnorm for every subsequent query
+    os.makedirs(p["meta"], exist_ok=True)
+    with open(os.path.join(p["meta"], "meta.json"), "w") as f:
+        json.dump(
+            {"n_docs": n_docs, "avgdl": avgdl, "n_buckets": n_buckets,
+             "partitions": partitions, "corpus_fp": corpus_fp},
+            f,
+        )
 
     # lineage: per-bucket block/posting/term counts --------------------------
     postings = spark.read.parquet(p["postings"])

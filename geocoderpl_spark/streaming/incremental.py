@@ -57,6 +57,8 @@ class SegmentedIndex:
     def terms_union(self) -> DataFrame:
         """Global term dictionary: df/cf summed across segments."""
         dfs = [s.terms.select("term", "df", "cf") for s in self.segments()]
+        if not dfs:
+            return self.spark.createDataFrame([], "term string, df long, cf long")
         u = dfs[0]
         for d in dfs[1:]:
             u = u.unionByName(d)
@@ -69,6 +71,10 @@ class SegmentedIndex:
         from ..operators.postings import decode_postings
 
         segs = self.segments()
+        if not segs:  # empty index root -> empty result, not AttributeError
+            from ..operators.topk import TOPK_SCHEMA
+
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
         n_docs, avgdl = self.global_stats()
         gterms = self.terms_union()
         qterms = tokenize_queries(queries)
@@ -157,6 +163,8 @@ def merge_segments(spark: SparkSession, index_root: str, out_dir: str, n_buckets
     """
     seg = SegmentedIndex(spark, index_root)
     segs = seg.segments()
+    if not segs:
+        raise ValueError(f"merge_segments: no segments under {index_root}")
     tf = None
     stats = None
     for s in segs:

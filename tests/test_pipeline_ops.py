@@ -92,6 +92,20 @@ def test_lsh_recall_vs_bruteforce(spark):
     assert hits / tot >= 0.5, f"LSH recall {hits}/{tot}"
 
 
+def test_lsh_pairs_subset_of_bruteforce_with_high_recall(spark):
+    """The gated scale path (lsh_cosine_pairs) must emit a subset of the
+    brute-force pairs (exact verify ⇒ no false positives) with high recall,
+    and identical cos values on the shared pairs."""
+    from geocoderpl_spark.operators.similarity import cosine_pairs, lsh_cosine_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    brute = {(r.vec_a, r.vec_b): r.cos for r in cosine_pairs(emb, 0.35).collect()}
+    lsh = {(r.vec_a, r.vec_b): r.cos for r in lsh_cosine_pairs(emb, 64, 0.35).collect()}
+    assert set(lsh) <= set(brute)  # verify step kills every false positive
+    assert all(lsh[p] == brute[p] for p in lsh)
+    assert len(lsh) / max(len(brute), 1) >= 0.8, f"recall {len(lsh)}/{len(brute)}"
+
+
 def test_multimodal_decode_plumbing(spark):
     from geocoderpl_spark.operators.multimodal import (
         FEATURE_DIM,
