@@ -312,6 +312,22 @@ def q_fts_query_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     return query_router(q)
 
 
+def q_route_coords_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end coords route: router 'coords' class -> parse pair ->
+    sector-pruned nearest-neighbor over the derived point table -> row fetch
+    (reference geo_gui.py:251-278 lifecycle; closes the router's last
+    unconsumed class)."""
+    from geocoderpl_spark.operators.georoute import customer_points, route_coords_lookup
+
+    q = spark.createDataFrame(ROUTER_QUERIES, "query_id long, query_text string")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return route_coords_lookup(
+        q, customer_points(spark, sf_dir),
+        fetch=cust.select("c_custkey", "c_name"), fetch_key="c_custkey",
+        fetch_cols=["c_name"], n_sectors=9, k=3,
+    )
+
+
 def q_rel_dict_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from geocoderpl_spark.operators.relational import dict_decode_nations
 
@@ -364,12 +380,27 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stubbed media decode -> feature vectors (rows-only check: the fake
-    decoder is sha256-iterated bytes, deliberately not SQL-replicable)."""
+    """Stubbed media decode -> feature vectors, VALUE-checked: the stub is a
+    deterministic sha256 chain over the payload hex, so the oracle recomputes
+    f0 (first feature, 6 dp) and byte_sum (exact integer checksum of all 32
+    float32 features via their byte preimages) in pure SQL. A float corrupted
+    anywhere past ~1e-13 flips byte_sum — this gates the actual values, not
+    just shape."""
     from geocoderpl_spark.operators.multimodal import decode_features, synth_media
 
     out = decode_features(synth_media(spark, 60))
-    return out.select("media_id", "kind", F.size("features").alias("feature_dim"))
+    byte_sum = F.aggregate(
+        "features",
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.round((x.cast("double") + 1.0) * 127.5, 0).cast("long"),
+    )
+    return out.select(
+        "media_id",
+        "kind",
+        F.size("features").alias("feature_dim"),
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
+        byte_sum.alias("byte_sum"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -408,6 +439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_json_props": q_events_json_props,
         "fts_query_router": q_fts_query_router,
+        "route_coords_lookup": q_route_coords_lookup,
         "rel_dict_decode": q_rel_dict_decode,
         "rel_sentinel_casts": q_rel_sentinel_casts,
         "rel_rollup": q_rel_rollup,
@@ -577,6 +609,50 @@ SELECT query_id::BIGINT AS query_id,
     ELSE 'text' END AS route
 FROM q
 """,
+        "route_coords_lookup": f"""
+WITH q(query_id, query_text) AS (VALUES {", ".join(f"({i}, '{t}')" for i, t in ROUTER_QUERIES)}),
+coords AS (
+  SELECT query_id::BIGINT AS query_id,
+         replace(regexp_extract(query_text,
+           '^\\s*(-?\\d+[.,]\\d+)[\\s,]+(-?\\d+[.,]\\d+)\\s*$', 1), ',', '.')::DOUBLE AS qx,
+         replace(regexp_extract(query_text,
+           '^\\s*(-?\\d+[.,]\\d+)[\\s,]+(-?\\d+[.,]\\d+)\\s*$', 2), ',', '.')::DOUBLE AS qy
+  FROM q
+  WHERE regexp_matches(query_text, '^\\s*-?\\d+[.,]\\d+[\\s,]+-?\\d+[.,]\\d+\\s*$')
+),
+pts AS (
+  SELECT c_custkey AS point_id,
+         ((c_custkey * 37) % 1000) / 10.0::DOUBLE AS px,
+         ((c_custkey * 91) % 1000) / 10.0::DOUBLE AS py
+  FROM customer
+),
+ptc AS (SELECT *, floor(px)::INT AS cell_x, floor(py)::INT AS cell_y FROM pts),
+sectors AS (SELECT cell_x, cell_y FROM ptc GROUP BY cell_x, cell_y),
+ranked_sect AS (
+  SELECT query_id, qx, qy, cell_x, cell_y
+  FROM (
+    SELECT c.query_id, c.qx, c.qy, s.cell_x, s.cell_y,
+           row_number() OVER (PARTITION BY c.query_id ORDER BY
+             ((s.cell_x::DOUBLE + 0.5::DOUBLE) - c.qx) * ((s.cell_x::DOUBLE + 0.5::DOUBLE) - c.qx)
+           + ((s.cell_y::DOUBLE + 0.5::DOUBLE) - c.qy) * ((s.cell_y::DOUBLE + 0.5::DOUBLE) - c.qy),
+             s.cell_x, s.cell_y) AS srank
+    FROM coords c CROSS JOIN sectors s
+  ) WHERE srank <= 9
+),
+cand AS (
+  SELECT r.query_id, p.point_id, p.px, p.py,
+         round(sqrt((p.px - r.qx) * (p.px - r.qx) + (p.py - r.qy) * (p.py - r.qy)), 6) AS dist
+  FROM ptc p JOIN ranked_sect r USING (cell_x, cell_y)
+),
+hits AS (
+  SELECT query_id, point_id, px, py, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, point_id) AS rnk
+  FROM cand
+)
+SELECT h.query_id, h.rnk::INT AS rank, h.point_id, h.px, h.py, h.dist, c.c_name
+FROM hits h JOIN customer c ON c.c_custkey = h.point_id
+WHERE h.rnk <= 3
+""",
         "rel_dict_decode": """
 SELECT n_nationkey, n_name,
   coalesce(CASE n_regionkey WHEN 0 THEN 'AFRICA_Z' WHEN 1 THEN 'AMERICA_Z'
@@ -638,7 +714,29 @@ ranked AS (
 )
 SELECT probe_id, rnk::INT AS rank, vec_id, cos FROM ranked WHERE rnk <= {ANN_K}
 """,
-        # mm_decode_features oracle lives below (sha256-replicated stub).
+        "mm_decode_features": """
+WITH m AS (
+  SELECT i AS media_id,
+         CASE WHEN i % 3 = 0 THEN 'image' WHEN i % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         -- payload hex = 4 concatenated sha256('m{j}:' || id); the engine's
+         -- kernel sees unhex() of this and re-hexes it, so the strings match
+         sha256(concat(sha256('m0:' || i), sha256('m1:' || i),
+                       sha256('m2:' || i), sha256('m3:' || i))) AS d
+  FROM generate_series(0, 59) t(i)
+),
+f AS (
+  SELECT media_id, kind,
+         list_transform(generate_series(0, 31), j ->
+           ((('0x' || substring(d, j * 2 + 1, 2))::INT / 127.5 - 1.0)::FLOAT)::DOUBLE
+         ) AS feats
+  FROM m
+)
+SELECT media_id::BIGINT AS media_id, kind, 32::INT AS feature_dim,
+       round(feats[1], 6) AS f0,
+       list_sum(list_transform(feats, x -> round((x + 1.0) * 127.5)))::BIGINT AS byte_sum
+FROM f
+""",
         "mm_frame_sample": """
 WITH m AS (
   SELECT i AS media_id, ((i % 900) + 100) * 10 AS duration_ms

@@ -50,12 +50,14 @@ def synth_media(spark: SparkSession, n: int, partitions: int = 8) -> DataFrame:
 
 def _fake_features(payload: bytes) -> list[float]:
     """Deterministic stand-in for a real decoder+embedder: bytes ->
-    FEATURE_DIM floats in [-1, 1) derived from sha256(payload)."""
+    FEATURE_DIM floats in [-1, 1) from a sha256 chain over the payload's
+    lowercase-hex encoding (hex, not raw bytes, so the value-check oracle —
+    DuckDB's sha256 only accepts VARCHAR — replicates it symbol-for-symbol)."""
     out: list[float] = []
-    h = payload
+    hexseed = payload.hex()
     while len(out) < FEATURE_DIM:
-        h = hashlib.sha256(h).digest()
-        out.extend(b / 127.5 - 1.0 for b in h)
+        hexseed = hashlib.sha256(hexseed.encode()).hexdigest()
+        out.extend(int(hexseed[j : j + 2], 16) / 127.5 - 1.0 for j in range(0, 64, 2))
     return out[:FEATURE_DIM]
 
 

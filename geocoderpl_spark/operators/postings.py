@@ -267,8 +267,16 @@ def build_postings(
     n_buckets: int = N_BUCKETS,
     partitions: int | None = None,
     n_docs: int | None = None,
+    bucket_mod: tuple[int, int] | None = None,
 ) -> DataFrame:
     """tf (term, doc_id, doclen, tf) -> compressed posting blocks.
+
+    ``bucket_mod=(g, G)`` restricts the build to buckets with
+    ``bucket % G == g`` (the per-bucket-group resume path in
+    ``plans/build.py``). Because partition assignment is
+    ``hash(bucket, slice)`` and encode order is a total sort, the blocks a
+    group emits are byte-identical to the same buckets' blocks from a full
+    build — group-sliced builds compose losslessly.
 
     Partitioning: HASH on (bucket, doc-range slice), then sort within
     partitions. Versus repartitionByRange this (a) skips the range-sampler's
@@ -286,10 +294,14 @@ def build_postings(
         slice_docs = max(BLOCK_SIZE, n_docs // (partitions * 4) + 1)
     else:
         slice_docs = 1 << 20
+    keyed = tf.join(F.broadcast(terms.select("term", "term_id")), "term").withColumn(
+        "bucket", F.pmod(F.xxhash64("term_id"), F.lit(n_buckets)).cast("int")
+    )
+    if bucket_mod is not None:
+        g, n_groups = bucket_mod
+        keyed = keyed.filter(F.pmod(F.col("bucket"), F.lit(n_groups)) == g)
     keyed = (
-        tf.join(F.broadcast(terms.select("term", "term_id")), "term")
-        .withColumn("bucket", F.pmod(F.xxhash64("term_id"), F.lit(n_buckets)).cast("int"))
-        .withColumn("slice", (F.col("doc_id") / F.lit(slice_docs)).cast("long"))
+        keyed.withColumn("slice", (F.col("doc_id") / F.lit(slice_docs)).cast("long"))
         .select("bucket", "slice", "term_id", "doc_id", "doclen", "tf")
         .repartition(partitions, "bucket", "slice")
         .sortWithinPartitions("bucket", "slice", "term_id", "doc_id")

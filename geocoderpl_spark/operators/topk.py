@@ -256,6 +256,23 @@ def bm25_topk_direct(
     return _topk_window(scored)
 
 
+# Per-query candidate-block bound for the serving kernel. The per-query
+# gather sends all of a query's candidate blocks to ONE applyInPandas task;
+# a hot term (df 3e11 at 100 TB => ~2e9 blocks) would OOM that task. Queries
+# whose worst term exceeds the cap are routed to the fully-distributed exact
+# path instead (reference analog: the GUI bounds every scan to MAX_SEKTS=25
+# sectors, geo_gui.py:180-186). Routing — not impact-order truncation — is
+# deliberate: truncation would break the pruned path's rank-identity.
+# 2^16 blocks * 128 postings = ~8.4M postings per term: comfortably one task.
+MAX_BLOCKS_PER_TERM = 1 << 16
+
+
+def _hot_df_threshold(max_blocks: int) -> int:
+    from ..functions.codec import BLOCK_SIZE
+
+    return max_blocks * BLOCK_SIZE
+
+
 def query_topk_pruned(
     postings: DataFrame,
     terms: DataFrame,
@@ -264,8 +281,9 @@ def query_topk_pruned(
     avgdl: float,
     term_lookup: dict | None = None,
     n_buckets: int | None = None,
+    max_blocks_per_term: int = MAX_BLOCKS_PER_TERM,
 ) -> DataFrame:
-    """Serving path: per-query block-max MaxScore kernel.
+    """Serving path: per-query block-max MaxScore kernel, hot-term-capped.
 
     With ``term_lookup`` (term -> (term_id, df), collected once at
     ``InvertedIndex.serve()``), the dictionary gate and query tokenization
@@ -273,8 +291,16 @@ def query_topk_pruned(
     the GUI process, ``geo_gui.py:36-37,172``): a query touches Spark only
     for the pruned posting scan + one groupBy. Without it, the gate is a
     distributed broadcast join (batch-friendly).
+
+    Queries containing a term with df > max_blocks_per_term * BLOCK_SIZE
+    (i.e. more candidate blocks than one kernel task should gather) are
+    answered by :func:`query_topk_exact` instead — same scores, same ranks,
+    no unbounded single-task gather. df comes from the term dictionary, so
+    the routing decision costs nothing extra.
     """
     spark = postings.sparkSession
+    hot_df = _hot_df_threshold(max_blocks_per_term)
+    hot_qids: set[int] = set()
     if term_lookup is not None:
         import math
 
@@ -290,22 +316,45 @@ def query_topk_pruned(
                 if hit is None:  # vocabulary gate: unknown term, no scan
                     continue
                 tid, df = hit
+                if df > hot_df:
+                    hot_qids.add(q["query_id"])
                 idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
                 rows.append((q["query_id"], int(q["k"]), tid, qtf, float(idf)))
-        if not rows:
-            return spark.createDataFrame([], TOPK_SCHEMA)
-        gated = spark.createDataFrame(
-            rows, "query_id long, k int, term_id long, qtf long, idf double"
-        )
-        cand = _pruned_scan(postings, [r[2] for r in rows], n_buckets).join(
-            F.broadcast(gated), "term_id"
-        )
+        rows = [r for r in rows if r[0] not in hot_qids]
+        if rows:
+            gated = spark.createDataFrame(
+                rows, "query_id long, k int, term_id long, qtf long, idf double"
+            )
+            cand = _pruned_scan(postings, [r[2] for r in rows], n_buckets).join(
+                F.broadcast(gated), "term_id"
+            )
+        else:
+            cand = None
     else:
         gated = gate_terms(tokenize_queries(queries), terms, n_docs)
-        tids = [r["term_id"] for r in gated.select("term_id").distinct().collect()]
-        if not tids:
-            return spark.createDataFrame([], TOPK_SCHEMA)
-        cand = _pruned_scan(postings, tids, n_buckets).join(F.broadcast(gated), "term_id")
-    out = cand.groupBy("query_id").applyInPandas(_pruned_kernel(avgdl), schema=TOPK_SCHEMA)
+        # metadata-sized collect: (query, term) pairs of the live query set
+        meta = gated.select("query_id", "term_id", "df").collect()
+        hot_qids = {r["query_id"] for r in meta if r["df"] > hot_df}
+        tids = [r["term_id"] for r in meta if r["query_id"] not in hot_qids]
+        if tids:
+            cand = _pruned_scan(postings, tids, n_buckets).join(
+                F.broadcast(gated.filter(~F.col("query_id").isin(list(hot_qids)))
+                            if hot_qids else gated),
+                "term_id",
+            )
+        else:
+            cand = None
+    out = (
+        cand.groupBy("query_id").applyInPandas(_pruned_kernel(avgdl), schema=TOPK_SCHEMA)
+        if cand is not None
+        else spark.createDataFrame([], TOPK_SCHEMA)
+    )
+    if hot_qids:  # exact-path fallback for hot-term queries (rank-identical)
+        hot = query_topk_exact(
+            postings, terms,
+            queries.filter(F.col("query_id").isin(list(hot_qids))),
+            n_docs, avgdl, n_buckets=n_buckets,
+        )
+        out = out.unionByName(hot)
     # queries whose terms are all unknown produce no group -> naturally empty
     return out

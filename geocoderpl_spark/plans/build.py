@@ -93,18 +93,29 @@ class InvertedIndex:
     _postings_cached: DataFrame | None = None
     _term_lookup: dict | None = None
 
-    def serve(self) -> "InvertedIndex":
-        """Pin posting blocks in executor memory and the term dictionary in
-        the driver for low-latency serving (reference analog: the GUI keeps
-        the vocabulary string and sector index resident,
-        ``geo_gui.py:36-43``). Idempotent."""
+    # Driver-side vocabulary cutover: above this many terms the dictionary
+    # stays distributed (broadcast-join gate, topk.py) instead of being
+    # collected — at 1e9 terms a driver-resident dict would be ~30 GB.
+    MAX_DRIVER_TERMS = 20_000_000
+
+    def serve(self, max_driver_terms: int | None = None) -> "InvertedIndex":
+        """Pin posting blocks in executor memory and — when the vocabulary is
+        small enough — the term dictionary in the driver for low-latency
+        serving (reference analog: the GUI keeps the vocabulary string and
+        sector index resident, ``geo_gui.py:36-43``). Beyond
+        ``max_driver_terms`` the collect is skipped automatically and queries
+        gate through the distributed broadcast join. Idempotent."""
+        if max_driver_terms is None:
+            max_driver_terms = self.MAX_DRIVER_TERMS
         if self._postings_cached is None:
             self._postings_cached = self.postings.persist()
             self._postings_cached.count()
             self._terms_cached = self.terms.persist()
-            self._term_lookup = {
-                r["term"]: (r["term_id"], r["df"]) for r in self._terms_cached.collect()
-            }
+            if self._terms_cached.count() <= max_driver_terms:
+                self._term_lookup = {
+                    r["term"]: (r["term_id"], r["df"])
+                    for r in self._terms_cached.collect()
+                }
         return self
 
     def fetch(self, topk: DataFrame, cols: list[str] | None = None) -> DataFrame:
@@ -133,6 +144,61 @@ class InvertedIndex:
         )
 
 
+def _build_postings_grouped(
+    spark: SparkSession,
+    tf: DataFrame,
+    terms: DataFrame,
+    avgdl: float,
+    n_buckets: int,
+    partitions: int,
+    n_docs: int,
+    out: str,
+    groups: int,
+) -> None:
+    """Postings stage in ``groups`` bucket-group jobs with per-group resume.
+
+    Every bucket dir belongs to exactly one group (bucket % groups), so a
+    group's output is a disjoint set of ``bucket=*`` dirs: incomplete groups
+    are wiped and rebuilt, complete ones (marker present) are untouched —
+    their files stay byte-identical across resumes. Spark's own _SUCCESS is
+    suppressed during the appends (a mid-stage crash must not leave a marker
+    that _done() would trust); the stage marker is written last, by us.
+    """
+    import shutil
+
+    def marker(g: int) -> str:
+        return os.path.join(out, f"_group_{g}_SUCCESS")
+
+    pending = [g for g in range(groups) if not os.path.exists(marker(g))]
+    if os.path.isdir(out):  # wipe partial output of unfinished groups
+        for d in os.listdir(out):
+            if d.startswith("bucket=") and int(d.split("=")[1]) % groups in pending:
+                shutil.rmtree(os.path.join(out, d), ignore_errors=True)
+        for leftover in ("_SUCCESS",):
+            try:
+                os.remove(os.path.join(out, leftover))
+            except FileNotFoundError:
+                pass
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    key = "mapreduce.fileoutputcommitter.marksuccessfuljobs"
+    old = hconf.get(key)
+    hconf.set(key, "false")
+    try:
+        for g in pending:
+            blocks = build_postings(
+                tf, terms, avgdl, n_buckets, partitions, n_docs=n_docs,
+                bucket_mod=(g, groups),
+            )
+            blocks.write.mode("append").partitionBy("bucket").parquet(out)
+            open(marker(g), "w").close()
+    finally:
+        if old is None:
+            hconf.unset(key)
+        else:
+            hconf.set(key, old)
+    open(os.path.join(out, "_SUCCESS"), "w").close()
+
+
 def build_index(
     spark: SparkSession,
     corpus: DataFrame,
@@ -143,6 +209,7 @@ def build_index(
     id_col: str | None = None,
     content_col: str = "content",
     corpus_fp: str | None = None,
+    postings_groups: int = 1,
 ) -> InvertedIndex:
     """Build (or resume building) the index for ``corpus`` at ``out_dir``.
 
@@ -150,6 +217,14 @@ def build_index(
     source file names+sizes+mtimes): when it differs from the one recorded in
     ``meta.json``, all stage checkpoints are invalidated and the index is
     rebuilt — a resume must never serve an index built from different data.
+
+    ``postings_groups`` > 1 turns on sub-stage resume for the (largest)
+    postings stage: buckets are written in that many groups (group g =
+    buckets with ``bucket % G == g``), each its own job + ``_group_g_SUCCESS``
+    marker, so a killed build resumes from the first unfinished *group*
+    instead of redoing the whole stage — per-partition lineage-diff resume
+    (SCALE.md). Costs one tf-checkpoint scan per group; leave at 1 for small
+    builds.
 
     The *logical* index (doc_ids, term_ids, decoded postings, scores) is
     deterministic given the corpus — independent of partition count
@@ -257,17 +332,27 @@ def build_index(
 
     # stage 5: postings ------------------------------------------------------
     if not _done(p["postings"]):
-        def s5():
-            blocks = build_postings(tf, terms, avgdl, n_buckets, partitions, n_docs=n_docs)
-            w = blocks.write.mode("overwrite")
-            if n_docs > 0:
-                w = w.partitionBy("bucket")
-            # zero-row partitioned writes emit no files at all -> the dir
-            # would be unreadable; a flat empty write keeps the schema
-            w.parquet(p["postings"])
-            return -1
+        if postings_groups <= 1 or n_docs == 0:
+            def s5():
+                blocks = build_postings(tf, terms, avgdl, n_buckets, partitions, n_docs=n_docs)
+                w = blocks.write.mode("overwrite")
+                if n_docs > 0:
+                    w = w.partitionBy("bucket")
+                # zero-row partitioned writes emit no files at all -> the dir
+                # would be unreadable; a flat empty write keeps the schema
+                w.parquet(p["postings"])
+                return -1
 
-        timed("postings", s5)
+            timed("postings", s5)
+        else:
+            def s5():
+                _build_postings_grouped(
+                    spark, tf, terms, avgdl, n_buckets, partitions, n_docs,
+                    p["postings"], postings_groups,
+                )
+                return -1
+
+            timed("postings", s5)
     else:
         metrics.append(("postings", -1, 0, "resumed"))
 

@@ -41,12 +41,29 @@ class SegmentedIndex:
         self.root = root
 
     def segments(self) -> list[InvertedIndex]:
-        segs = sorted(
-            d for d in os.listdir(self.root)
+        """Live segments: complete seg_* dirs minus any consumed by a
+        completed compaction (a merged segment carries ``merged_from.json``
+        naming the dirs it subsumes — so compaction is crash-safe: until the
+        merged dir is complete the old segments serve, after it the old ones
+        are ignored even before garbage collection deletes them)."""
+        import json
+
+        complete = [
+            d for d in sorted(os.listdir(self.root))
             if d.startswith("seg_")
             and os.path.exists(os.path.join(self.root, d, "meta", "meta.json"))
-        )
-        return [InvertedIndex.load(self.spark, os.path.join(self.root, d)) for d in segs]
+        ]
+        consumed: set[str] = set()
+        for d in complete:
+            mf = os.path.join(self.root, d, "merged_from.json")
+            if os.path.exists(mf):
+                with open(mf) as f:
+                    consumed.update(json.load(f))
+        return [
+            InvertedIndex.load(self.spark, os.path.join(self.root, d))
+            for d in complete
+            if d not in consumed
+        ]
 
     def global_stats(self) -> tuple[int, float]:
         segs = self.segments()
@@ -112,8 +129,13 @@ def start_incremental_indexer(
     key_cols: tuple[str, ...] = ("repo", "path", "commit"),
     n_buckets: int = 16,
     max_files_per_trigger: int | None = None,
+    compact_threshold: int | None = None,
 ):
     """readStream over ``stream_dir`` -> one index segment per micro-batch.
+
+    ``compact_threshold``: auto-compaction pressure — after each micro-batch,
+    if more than this many live segments exist they are merged into one
+    (:func:`compact_segments`), keeping the query-time union bounded.
 
     Returns the StreamingQuery; drive it with trigger(availableNow) +
     ``awaitTermination`` in tests, or leave running for continuous ingest.
@@ -142,6 +164,8 @@ def start_incremental_indexer(
                 spark, batch, seg_dir, n_buckets=n_buckets,
                 id_col=id_col, content_col=content_col,
             )
+        if compact_threshold:
+            compact_segments(spark, index_root, compact_threshold, n_buckets)
 
     rs = spark.readStream.schema(corpus_schema)
     if max_files_per_trigger:
@@ -153,6 +177,45 @@ def start_incremental_indexer(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_segments(
+    spark: SparkSession, index_root: str, max_segments: int, n_buckets: int = 16
+) -> bool:
+    """LSM auto-compaction policy: when the live segment count exceeds
+    ``max_segments``, merge ALL live segments into one (the query-side plan
+    unions per-segment scans — a driver loop that degenerates at thousands
+    of segments without compaction pressure, VERDICT r01 #4).
+
+    Crash-safe ordering: (1) merge into ``_compact_tmp``; (2) write
+    ``merged_from.json`` inside it; (3) atomic rename to a fresh ``seg_*``
+    name — from this instant :meth:`SegmentedIndex.segments` ignores the
+    consumed dirs; (4) garbage-collect them. A crash before (3) leaves the
+    old segments authoritative; after (3), the merged one.
+    Returns True if a compaction ran.
+    """
+    import json
+    import shutil
+
+    seg = SegmentedIndex(spark, index_root)
+    live = seg.segments()
+    if len(live) <= max_segments or len(live) < 2:
+        return False
+    names = [os.path.basename(s.root) for s in live]
+    tmp = os.path.join(index_root, "_compact_tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    merge_segments(spark, index_root, tmp, n_buckets=n_buckets)
+    with open(os.path.join(tmp, "merged_from.json"), "w") as f:
+        json.dump(names, f)
+    # name sorts after its inputs and can't collide with future epoch names
+    final = os.path.join(
+        index_root,
+        f"seg_{names[0].removeprefix('seg_')}-{names[-1].removeprefix('seg_')}m",
+    )
+    os.rename(tmp, final)
+    for n in names:  # GC of subsumed segments (safe: already ignored)
+        shutil.rmtree(os.path.join(index_root, n), ignore_errors=True)
+    return True
 
 
 def merge_segments(spark: SparkSession, index_root: str, out_dir: str, n_buckets: int = 16) -> InvertedIndex:

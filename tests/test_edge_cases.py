@@ -81,3 +81,53 @@ def test_partial_write_resume(spark, tmp_path):
     )
     assert redone.equals(good)
     assert not os.path.exists(os.path.join(out, "postings", "junk.tmp"))
+
+
+def test_grouped_postings_resume_byte_identical(spark, tmp_path):
+    """postings_groups=4: (a) a grouped build's postings are byte-identical
+    to an ungrouped build; (b) killing after some groups (markers missing,
+    partial bucket dirs on disk) and resuming rebuilds ONLY the unfinished
+    groups and lands byte-identical to a clean build."""
+    import shutil
+
+    from geocoderpl_spark.plans.build import build_index
+    from geocoderpl_spark.sources.corpus import synth_corpus
+
+    def blocks_pdf(ix):
+        return (
+            ix.postings.toPandas()
+            .sort_values(["term_id", "block_id"]).reset_index(drop=True)
+        )
+
+    plain = build_index(spark, synth_corpus(spark, 300), str(tmp_path / "plain"),
+                        n_buckets=8, partitions=4)
+    out = str(tmp_path / "grp")
+    grouped = build_index(spark, synth_corpus(spark, 300), out,
+                          n_buckets=8, partitions=4, postings_groups=4)
+    assert blocks_pdf(grouped).equals(blocks_pdf(plain))  # incl. binary cols
+
+    # simulate a kill after groups 0,1: groups 2,3 lose their markers, group
+    # 3 additionally has a half-written bucket dir
+    pdir = os.path.join(out, "postings")
+    os.remove(os.path.join(pdir, "_SUCCESS"))
+    os.remove(os.path.join(pdir, "_group_2_SUCCESS"))
+    os.remove(os.path.join(pdir, "_group_3_SUCCESS"))
+    victims = [d for d in os.listdir(pdir) if d.startswith("bucket=")
+               and int(d.split("=")[1]) % 4 == 3]
+    shutil.rmtree(os.path.join(pdir, victims[0]))
+    os.makedirs(os.path.join(pdir, victims[0]))  # half-written dir w/ garbage
+    with open(os.path.join(pdir, victims[0], "junk.tmp"), "w") as f:
+        f.write("partial garbage")
+
+    # record group-0/1 file inventory: resume must not touch them
+    keep = {
+        d: sorted(os.listdir(os.path.join(pdir, d)))
+        for d in os.listdir(pdir)
+        if d.startswith("bucket=") and int(d.split("=")[1]) % 4 in (0, 1)
+    }
+    resumed = build_index(spark, synth_corpus(spark, 300), out,
+                          n_buckets=8, partitions=4, postings_groups=4)
+    assert blocks_pdf(resumed).equals(blocks_pdf(plain))
+    assert not os.path.exists(os.path.join(pdir, victims[0], "junk.tmp"))
+    for d, files in keep.items():
+        assert sorted(os.listdir(os.path.join(pdir, d))) == files

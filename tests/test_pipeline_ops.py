@@ -122,6 +122,16 @@ def test_multimodal_decode_plumbing(spark):
     # deterministic: same payload -> same features
     f2 = decode_features(media).collect()
     assert {r.media_id: r.features for r in feats} == {r.media_id: r.features for r in f2}
+    # VALUE check: engine features == local recomputation from the raw
+    # payload bytes, exact at float32 (catches any kernel/codec corruption)
+    import numpy as np
+
+    from geocoderpl_spark.operators.multimodal import _fake_features
+
+    payloads = {r.media_id: bytes(r.payload) for r in media.collect()}
+    for r in feats:
+        want = np.array(_fake_features(payloads[r.media_id]), dtype=np.float32)
+        assert np.array_equal(np.array(r.features, dtype=np.float32), want)
     with pytest.raises(NotImplementedError):
         decode_features(media, real_decode=True)
 
@@ -145,3 +155,43 @@ def test_quality_and_langid_bounds(spark, docs):
     langs = {r.doc_id: r.pred_lang for r in lang_id(docs).collect()}
     assert langs[0] == "en"
     assert langs[5] == "und"
+
+
+def test_coords_route_pruned_nn_matches_bruteforce(spark):
+    """For in-domain coords queries, the sector-pruned NN must equal the
+    brute-force NN over all points; non-coords queries yield no rows."""
+    from geocoderpl_spark.operators.georoute import customer_points, route_coords_lookup
+
+    sf = "/root/testdata/sf0.001"
+    pts = customer_points(spark, sf)
+    q = spark.createDataFrame(
+        [(0, "50.05, 50.05"), (1, "plain text query"), (2, "")],
+        "query_id long, query_text string",
+    )
+    got = route_coords_lookup(q, pts, n_sectors=9, k=3).orderBy("rank").collect()
+    assert {r.query_id for r in got} == {0}
+    assert [r.rank for r in got] == [1, 2, 3]
+    # brute force over every point
+    brute = (
+        pts.withColumn(
+            "dist",
+            F.round(
+                F.sqrt((F.col("px") - 50.05) * (F.col("px") - 50.05)
+                       + (F.col("py") - 50.05) * (F.col("py") - 50.05)), 6),
+        )
+        .orderBy("dist", "point_id")
+        .limit(3)
+        .collect()
+    )
+    assert [(r.point_id, r.dist) for r in got] == [(r.point_id, r.dist) for r in brute]
+
+
+def test_coords_route_out_of_domain_still_bounded(spark):
+    """A query far outside the grid still returns k rows from the nearest
+    sectors (the reference's bounded-scan semantics)."""
+    from geocoderpl_spark.operators.georoute import customer_points, route_coords_lookup
+
+    pts = customer_points(spark, "/root/testdata/sf0.001")
+    q = spark.createDataFrame([(7, "-33.86 151.21")], "query_id long, query_text string")
+    got = route_coords_lookup(q, pts, n_sectors=9, k=3).collect()
+    assert len(got) == 3

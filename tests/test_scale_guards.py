@@ -50,3 +50,44 @@ def test_no_row_at_a_time_python_udfs():
                 line = text[: m.start()].count("\n") + 1
                 offenders.append(f"{py.relative_to(ENGINE_ROOT.parent)}:{line} {pat.pattern}")
     assert not offenders, offenders
+
+
+def test_hot_term_query_capped_and_rank_identical(spark, tmp_path):
+    """Serving-path hot-term cap (SCALE.md mitigation): a query containing a
+    >30%-df term must (a) be routed off the per-query gather when that term's
+    candidate blocks exceed the cap, (b) stay rank-identical to the exact
+    path, and (c) never ship more than max_blocks_per_term blocks per term
+    into the kernel on the cold path."""
+    from geocoderpl_spark.functions.codec import BLOCK_SIZE
+    from geocoderpl_spark.operators.topk import query_topk_pruned
+    from geocoderpl_spark.plans.build import build_index
+    from geocoderpl_spark.sources.corpus import HOT_TERM, synth_corpus
+
+    idx = build_index(
+        spark, synth_corpus(spark, 2000), str(tmp_path / "idx"),
+        n_buckets=8, partitions=8,
+    )
+    q = spark.createDataFrame(
+        [(0, f"{HOT_TERM} term_0001", 10), (1, "term_0002 term_0003", 10)],
+        "query_id long, query_text string, k int",
+    )
+    exact = [tuple(r) for r in idx.topk(q, "exact").orderBy("query_id", "rank").collect()]
+
+    # hot term df ~35% of 2000 = ~700 docs -> ~6 blocks; cap of 1 block forces
+    # the hot query (0) onto the exact fallback while query 1 stays pruned
+    hot_df = idx.terms.filter(F.col("term") == HOT_TERM).collect()[0]["df"]
+    assert hot_df > 0.3 * idx.n_docs  # precondition: genuinely hot
+    capped = query_topk_pruned(
+        idx.postings, idx.terms, q, idx.n_docs, idx.avgdl,
+        n_buckets=idx.n_buckets, max_blocks_per_term=1,
+    )
+    got = [tuple(r) for r in capped.orderBy("query_id", "rank").collect()]
+    assert got == exact, "capped/fallback path lost rank-identity"
+
+    # cold path invariant: no (query, term) ships more blocks than the cap
+    cap = 4096
+    n_blocks = (
+        idx.postings.groupBy("term_id").count()
+        .filter(F.col("count") > cap).count()
+    )
+    assert hot_df // BLOCK_SIZE + 1 <= cap and n_blocks == 0

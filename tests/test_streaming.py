@@ -91,3 +91,46 @@ def test_merge_segments_equals_sum(spark, streamed, tmp_path):
     got = merged.topk(q, "exact").toPandas().sort_values("rank").reset_index(drop=True)
     exp = seg.topk(q).toPandas().sort_values("rank").reset_index(drop=True)
     assert got.equals(exp)
+
+
+def test_auto_compaction_bounds_segments(spark, tmp_path):
+    """With compact_threshold=2, streaming 4 micro-batches must end with
+    <= 2 live segments AND identical query results to an uncompacted run."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    stream_a, root_a = str(tmp_path / "in_a"), str(tmp_path / "idx_a")
+    stream_b, root_b = str(tmp_path / "in_b"), str(tmp_path / "idx_b")
+    os.makedirs(stream_a)
+    os.makedirs(stream_b)
+    corpus = synth_corpus(spark, 200)
+    for i in range(4):
+        part = corpus.filter(F.pmod(F.xxhash64("path"), F.lit(4)) == i)
+        for d in (stream_a, stream_b):
+            part.coalesce(1).write.mode("overwrite").parquet(f"{d}/t.tmp")
+            f = glob.glob(f"{d}/t.tmp/*.parquet")[0]
+            shutil.move(f, f"{d}/drop_{i}.parquet")
+            shutil.rmtree(f"{d}/t.tmp")
+    qa = start_incremental_indexer(
+        spark, stream_a, root_a, SCHEMA, max_files_per_trigger=1,
+        compact_threshold=2,
+    )
+    qa.awaitTermination(300)
+    qb = start_incremental_indexer(
+        spark, stream_b, root_b, SCHEMA, max_files_per_trigger=1,
+    )
+    qb.awaitTermination(300)
+
+    sa, sb = SegmentedIndex(spark, root_a), SegmentedIndex(spark, root_b)
+    assert len(sb.segments()) == 4
+    assert len(sa.segments()) <= 2, [s.root for s in sa.segments()]
+    assert sa.global_stats() == sb.global_stats()
+    q = spark.createDataFrame(
+        [(0, "term_0001 term_0002", 10), (1, "the_hot_term", 5)],
+        "query_id long, query_text string, k int",
+    )
+    got = sa.topk(q).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    exp = sb.topk(q).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert got.equals(exp)
