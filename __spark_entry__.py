@@ -369,6 +369,16 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_topk(_emb(spark, sf_dir), ANN_PROBES, dim=EMB_DIM, k=ANN_K)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN, IVF-Flat scale path: deterministic coarse quantizer (lowest-id
+    vectors as centroids), nprobe nearest lists scanned, exact rerank —
+    at scale the lists are partition dirs and nprobe pruning is directory
+    pruning. Fully deterministic => hash-match oracle."""
+    from geocoderpl_spark.operators.similarity import ivf_cosine_topk
+
+    return ivf_cosine_topk(_emb(spark, sf_dir), ANN_PROBES, dim=EMB_DIM, k=ANN_K)
+
+
 def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal frame-sampling plan over the deterministic synthetic media
     table (the decode itself is stubbed; the plan is real)."""
@@ -445,12 +455,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_rollup": q_rel_rollup,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "mm_frame_sample": q_mm_frame_sample,
         "mm_decode_features": q_mm_decode_features,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from geocoderpl_spark.operators.similarity import IVF_CENTROIDS as _IVF_C
+    from geocoderpl_spark.operators.similarity import IVF_NPROBE as _IVF_P
+
     toks = _duck_toks("text")
     qk = ", ".join(str(int(x)) for x in ANN_PROBES)
     return {
@@ -706,6 +720,54 @@ scored AS (
               * sqrt(list_sum(list_transform(pe.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) AS cos
   FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
               JOIN embeddings pe ON pe.vec_id = c.probe_id
+),
+ranked AS (
+  SELECT probe_id, vec_id, cos,
+         row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rnk
+  FROM scored
+)
+SELECT probe_id, rnk::INT AS rank, vec_id, cos FROM ranked WHERE rnk <= {ANN_K}
+""",
+        "ann_ivf_topk": f"""
+WITH cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS list_id, embedding AS cvec
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {_IVF_C})
+),
+assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             (list_sum(list_transform(generate_series(1, len(e.embedding)),
+                  i -> e.embedding[i]::DOUBLE * c.cvec[i]::DOUBLE))
+              / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                 * sqrt(list_sum(list_transform(c.cvec, x -> x::DOUBLE * x::DOUBLE))))) DESC,
+             c.list_id) AS crank
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE crank = 1
+),
+plists AS (
+  SELECT probe_id, list_id FROM (
+    SELECT p.vec_id AS probe_id, c.list_id,
+           row_number() OVER (PARTITION BY p.vec_id ORDER BY
+             (list_sum(list_transform(generate_series(1, len(p.embedding)),
+                  i -> p.embedding[i]::DOUBLE * c.cvec[i]::DOUBLE))
+              / (sqrt(list_sum(list_transform(p.embedding, x -> x::DOUBLE * x::DOUBLE)))
+                 * sqrt(list_sum(list_transform(c.cvec, x -> x::DOUBLE * x::DOUBLE))))) DESC,
+             c.list_id) AS crank
+    FROM embeddings p CROSS JOIN cents c WHERE p.vec_id IN ({qk})
+  ) WHERE crank <= {_IVF_P}
+),
+scored AS (
+  SELECT pl.probe_id, e.vec_id,
+         round(list_sum(list_transform(generate_series(1, len(e.embedding)),
+                 i -> e.embedding[i]::DOUBLE * pe.embedding[i]::DOUBLE))
+           / (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))
+              * sqrt(list_sum(list_transform(pe.embedding, x -> x::DOUBLE * x::DOUBLE)))), 6) AS cos
+  FROM plists pl
+  JOIN assign a USING (list_id)
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  JOIN embeddings pe ON pe.vec_id = pl.probe_id
+  WHERE e.vec_id <> pl.probe_id
 ),
 ranked AS (
   SELECT probe_id, vec_id, cos,

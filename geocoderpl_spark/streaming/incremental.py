@@ -34,11 +34,17 @@ from ..plans.build import InvertedIndex, build_index
 
 
 class SegmentedIndex:
-    """A queryable set of index segments under ``root`` (seg_00000, ...)."""
+    """A queryable set of index segments under ``root`` (seg_00000, ...).
 
-    def __init__(self, spark: SparkSession, root: str):
+    ``snapshot_id`` pins the view to a committed snapshot (time travel,
+    ``plans/snapshots.py``); default = latest snapshot, falling back to a
+    directory listing for indexes that predate the snapshot log.
+    """
+
+    def __init__(self, spark: SparkSession, root: str, snapshot_id: int | None = None):
         self.spark = spark
         self.root = root
+        self.snapshot_id = snapshot_id
 
     def segments(self) -> list[InvertedIndex]:
         """Live segments: complete seg_* dirs minus any consumed by a
@@ -48,6 +54,15 @@ class SegmentedIndex:
         are ignored even before garbage collection deletes them)."""
         import json
 
+        from ..plans.snapshots import resolve_segments
+
+        pinned = resolve_segments(self.root, self.snapshot_id)
+        if pinned is not None:
+            return [
+                InvertedIndex.load(self.spark, os.path.join(self.root, d))
+                for d in pinned
+                if os.path.exists(os.path.join(self.root, d, "meta", "meta.json"))
+            ]
         complete = [
             d for d in sorted(os.listdir(self.root))
             if d.startswith("seg_")
@@ -164,6 +179,13 @@ def start_incremental_indexer(
                 spark, batch, seg_dir, n_buckets=n_buckets,
                 id_col=id_col, content_col=content_col,
             )
+        from ..plans.snapshots import commit_snapshot
+
+        # new segment joins the pre-batch live set (it isn't in the previous
+        # snapshot yet — that's the point: the commit makes it visible)
+        seg_set = sorted({os.path.basename(s.root) for s in segs}
+                         | {os.path.basename(seg_dir)})
+        commit_snapshot(index_root, seg_set, op=f"append:{os.path.basename(seg_dir)}")
         if compact_threshold:
             compact_segments(spark, index_root, compact_threshold, n_buckets)
 
@@ -213,6 +235,9 @@ def compact_segments(
         f"seg_{names[0].removeprefix('seg_')}-{names[-1].removeprefix('seg_')}m",
     )
     os.rename(tmp, final)
+    from ..plans.snapshots import commit_snapshot
+
+    commit_snapshot(index_root, [os.path.basename(final)], op="compact")
     for n in names:  # GC of subsumed segments (safe: already ignored)
         shutil.rmtree(os.path.join(index_root, n), ignore_errors=True)
     return True

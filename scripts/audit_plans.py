@@ -65,11 +65,19 @@ def main() -> None:
     ))
 
     # 3. tf + postings build plan (logical shape)
-    from geocoderpl_spark.operators.postings import build_postings, build_terms, term_frequencies_pandas
+    from geocoderpl_spark.operators.postings import build_postings, build_terms, term_frequencies_arrow
 
     docs = entrymod._docs(spark, SF).withColumnRenamed("text", "content")
-    tf = term_frequencies_pandas(docs)
+    tf = term_frequencies_arrow(docs)
     terms = build_terms(tf)
+    sections.append((
+        "Build stage — tf kernel (mapInArrow, shuffle-free)",
+        "One scan, one ArrowEvalPython/MapInArrow node, zero exchanges: "
+        "tokenize + per-doc tf counting are per-row maps; the kernel is "
+        "pure Arrow C++ (RE2 + hash group-by), no Python string objects "
+        "(SCALE.md kernel study).",
+        plan_of(tf),
+    ))
     sections.append((
         "Build stage — posting construction",
         "tf is shuffle-free (per-doc Arrow kernel). Postings: broadcast "
@@ -85,6 +93,18 @@ def main() -> None:
         "Both dims broadcast (BroadcastHashJoin); scan prunes columns "
         "(ReadSchema shows only the 3 needed customer columns).",
         plan_of(entrymod.q_rel_broadcast_join(spark, SF)),
+    ))
+
+    # 5. coords route: sector-pruned NN lookup
+    sections.append((
+        "Coords route — sector-pruned NN + fetch (georoute.py)",
+        "The sector directory (distinct cells) and the per-query nearest-9 "
+        "sector set are broadcast; the big point table is scanned once and "
+        "filtered by the broadcast hash join on (cell_x, cell_y) — the "
+        "partition-pruning shape (on a cell-partitioned table the same "
+        "literal cell list reaches PartitionFilters, like the bucket prune). "
+        "The final fetch broadcasts the k winning rows.",
+        plan_of(entrymod.q_route_coords_lookup(spark, SF)),
     ))
 
     with open("PLANS.md", "w") as f:

@@ -215,3 +215,16 @@ def test_lineage_counts(spark, index):
     post = index.postings.toPandas()
     assert int(lin.n_blocks.sum()) == len(post)
     assert int(lin.n_postings.sum()) == int(post.n.sum())
+
+
+def test_query_cache_serves_repeats_without_spark(spark, index):
+    """Single-query serving cache (reference res_coords analog): the second
+    identical query must come from the cache, not a new Spark job."""
+    got1 = index.query("term_0001 term_0002", k=5)
+    assert len(got1) == 5 and got1[0][0] == 1
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    got2 = index.query("term_0001 term_0002", k=5)
+    after = tracker.getJobIdsForGroup(None)
+    assert got2 == got1
+    assert before == after, "cache hit ran a Spark job"

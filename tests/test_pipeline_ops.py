@@ -195,3 +195,25 @@ def test_coords_route_out_of_domain_still_bounded(spark):
     q = spark.createDataFrame([(7, "-33.86 151.21")], "query_id long, query_text string")
     got = route_coords_lookup(q, pts, n_sectors=9, k=3).collect()
     assert len(got) == 3
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF-Flat ANN must recover most of the exact top-k; every returned
+    cos must equal the brute-force value (exact rerank inside lists)."""
+    from geocoderpl_spark.operators.similarity import cosine_topk, ivf_cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probes = [0, 1, 2, 3, 4]
+    exact = cosine_topk(emb, probes, k=5).toPandas()
+    approx = ivf_cosine_topk(emb, probes, dim=64, k=5).toPandas()
+    ecos = {(r.probe_id, r.vec_id): r.cos for _, r in exact.iterrows()}
+    hits = tot = 0
+    for p in probes:
+        e = set(exact[exact.probe_id == p].vec_id)
+        a = set(approx[approx.probe_id == p].vec_id)
+        hits += len(e & a)
+        tot += len(e)
+    assert hits / tot >= 0.4, f"IVF recall {hits}/{tot}"
+    for _, r in approx.iterrows():
+        if (r.probe_id, r.vec_id) in ecos:
+            assert r.cos == ecos[(r.probe_id, r.vec_id)]

@@ -134,3 +134,27 @@ def test_auto_compaction_bounds_segments(spark, tmp_path):
     got = sa.topk(q).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
     exp = sb.topk(q).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
     assert got.equals(exp)
+
+
+def test_snapshot_log_and_time_travel(spark, streamed):
+    """Each micro-batch commits a snapshot; pinning snapshot_id=1 queries the
+    index as of the first batch (Iceberg-style time travel)."""
+    from geocoderpl_spark.plans.snapshots import read_snapshots
+
+    index_root, corpus = streamed
+    snaps = read_snapshots(index_root)
+    assert [s["snapshot_id"] for s in snaps] == [1, 2, 3]
+    assert all(s["op"].startswith("append:") for s in snaps)
+    assert len(snaps[0]["segments"]) == 1 and len(snaps[-1]["segments"]) == 3
+
+    latest = SegmentedIndex(spark, index_root)
+    asof1 = SegmentedIndex(spark, index_root, snapshot_id=1)
+    n_latest, _ = latest.global_stats()
+    n_old, _ = asof1.global_stats()
+    assert n_latest == N and 0 < n_old < N
+    q = spark.createDataFrame(
+        [(0, "term_0001", 5)], "query_id long, query_text string, k int"
+    )
+    old_docs = {r.doc_id for r in asof1.topk(q).collect()}
+    seg1_ids = {r.doc_id for r in asof1.segments()[0].docstats.select("doc_id").collect()}
+    assert old_docs <= seg1_ids  # as-of view never sees later docs

@@ -35,3 +35,40 @@ def test_tokenize_duckdb_matches_spec():
         sql = "select " + duckdb_tokenize_sql("?") + " as toks"
         got = duckdb.sql(sql, params=[raw]).fetchone()[0]
         assert got == expected, raw
+
+
+def test_tokenize_arrow_matches_spec():
+    """4th implementation (Arrow RE2 path inside term_frequencies_arrow /
+    docstats_arrow) must match the spec token-for-token."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from geocoderpl_spark.functions.tokenize import CAMEL_BOUNDARY, NON_TOKEN
+
+    arr = pa.array([c for c, _ in CASES])
+    spaced = pc.replace_substring_regex(arr, pattern=CAMEL_BOUNDARY, replacement=r"\1 \2")
+    toks = pc.split_pattern_regex(pc.utf8_lower(spaced), pattern=NON_TOKEN)
+    for (raw, expected), got in zip(CASES, toks.to_pylist()):
+        assert [t for t in got if t] == expected, raw
+
+
+def test_tf_and_docstats_kernels_identical(spark):
+    """arrow and pandas kernels must be row-identical on a real corpus
+    (the build may run either, per GRAFT_TF_KERNEL)."""
+    from geocoderpl_spark.operators.docids import assign_doc_ids
+    from geocoderpl_spark.operators.postings import (
+        docstats_arrow,
+        docstats_pandas,
+        term_frequencies_arrow,
+        term_frequencies_pandas,
+    )
+    from geocoderpl_spark.sources.corpus import synth_corpus
+
+    docs = assign_doc_ids(synth_corpus(spark, 800), ["repo", "path", "commit"], 8)
+    a = term_frequencies_pandas(docs).toPandas().sort_values(["term", "doc_id"]).reset_index(drop=True)
+    b = term_frequencies_arrow(docs).toPandas().sort_values(["term", "doc_id"]).reset_index(drop=True)
+    assert a.equals(b)
+    meta = ["repo", "path", "commit", "lang"]
+    da = docstats_pandas(docs, meta).toPandas().sort_values("doc_id").reset_index(drop=True)
+    db = docstats_arrow(docs, meta).toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert da.equals(db)
