@@ -346,6 +346,18 @@ def q_rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup_pricing(spark, sf_dir)
 
 
+def q_rel_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geocoderpl_spark.operators.relational import shipping_priority
+
+    return shipping_priority(spark, sf_dir, k=10)
+
+
+def q_rel_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from geocoderpl_spark.operators.relational import order_priority_counts
+
+    return order_priority_counts(spark, sf_dir)
+
+
 EMB_DIM = 64
 
 
@@ -453,6 +465,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_dict_decode": q_rel_dict_decode,
         "rel_sentinel_casts": q_rel_sentinel_casts,
         "rel_rollup": q_rel_rollup,
+        "rel_shipping_priority": q_rel_shipping_priority,
+        "rel_order_priority": q_rel_order_priority,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -686,6 +700,32 @@ SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        count(*) AS n,
        (sum(l_quantity::DECIMAL(18,2)))::DOUBLE AS sum_qty
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+        "rel_shipping_priority": """
+SELECT l_orderkey, revenue, o_orderdate, o_orderpriority FROM (
+  SELECT l_orderkey,
+         (sum(l_extendedprice::DECIMAL(18,2)
+              * (1::DECIMAL(18,2) - l_discount::DECIMAL(18,2))))::DOUBLE AS revenue,
+         o_orderdate, o_orderpriority
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1995-03-15'
+    AND l_shipdate > TIMESTAMP '1995-03-15'
+  GROUP BY l_orderkey, o_orderdate, o_orderpriority
+)
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+""",
+        "rel_order_priority": """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate >= TIMESTAMP '1995-07-01'
+                AND l_shipdate < TIMESTAMP '1996-01-01')
+GROUP BY o_orderpriority
 """,
         "dedup_embedding_lsh": f"""
 WITH {_lsh_bands_sql()},
