@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 # with oracle_sql() in __spark_entry__.py.
 CAMEL_BOUNDARY = "([a-z0-9])([A-Z])"
 NON_TOKEN = "[^a-z0-9_]+"
+TOKEN_RUN = "[a-z0-9_]+"  # complement of NON_TOKEN: one maximal token
 
 
 def tokenize(col: Column | str) -> Column:

@@ -186,7 +186,7 @@ def docstats_arrow(
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        from ..functions.tokenize import CAMEL_BOUNDARY, NON_TOKEN
+        from ..functions.tokenize import CAMEL_BOUNDARY, TOKEN_RUN
 
         for rb in batches:
             n = rb.num_rows
@@ -196,12 +196,11 @@ def docstats_arrow(
             spaced = pc.replace_substring_regex(
                 content, pattern=CAMEL_BOUNDARY, replacement=r"\1 \2"
             )
-            toks = pc.split_pattern_regex(pc.utf8_lower(spaced), pattern=NON_TOKEN)
-            flat = pc.list_flatten(toks)
-            lengths = pc.list_value_length(toks).to_numpy().astype(np.int64)
-            parent = np.repeat(np.arange(n, dtype=np.int64), lengths)
-            keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-            doclen = np.bincount(parent[keep], minlength=n)
+            # doclen = number of maximal token runs — identical to counting
+            # non-empty split results, without materializing the token lists
+            doclen = pc.count_substring_regex(
+                pc.utf8_lower(spaced), pattern=TOKEN_RUN
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
             # zero-copy sha256: hash utf8 bytes straight out of the buffer
             carr = content.combine_chunks() if isinstance(content, pa.ChunkedArray) else content
             bufs = carr.buffers()
@@ -425,7 +424,16 @@ def build_postings(
         .repartition(partitions, "bucket", "slice")
         .sortWithinPartitions("bucket", "slice", "term_id", "doc_id")
     )
-    return keyed.drop("slice").mapInPandas(_encode_partition(avgdl), schema=POSTINGS_SCHEMA)
+    # int32 tf/doclen for the JVM->Python Arrow transfer (measured -16% on
+    # the kernel stage: the IPC round-trip is bandwidth-bound). Safe: doclen
+    # is bounded by the 2 GB string limit (< 2^31 tokens); tf <= doclen.
+    # The kernel upcasts to int64 before any arithmetic.
+    narrow = keyed.select(
+        "bucket", "term_id", "doc_id",
+        F.col("doclen").cast("int").alias("doclen"),
+        F.col("tf").cast("int").alias("tf"),
+    )
+    return narrow.mapInPandas(_encode_partition(avgdl), schema=POSTINGS_SCHEMA)
 
 
 def decode_postings(blocks: DataFrame) -> DataFrame:

@@ -158,3 +158,50 @@ def test_snapshot_log_and_time_travel(spark, streamed):
     old_docs = {r.doc_id for r in asof1.topk(q).collect()}
     seg1_ids = {r.doc_id for r in asof1.segments()[0].docstats.select("doc_id").collect()}
     assert old_docs <= seg1_ids  # as-of view never sees later docs
+
+
+def test_compaction_crash_window_is_safe(spark, tmp_path):
+    """Crash-safety of compaction: if the GC step never ran (merged segment
+    AND its consumed inputs both on disk), segments() must serve ONLY the
+    merged one — no double counting; deleting the consumed dirs later
+    changes nothing."""
+    import json
+    import shutil
+
+    root = str(tmp_path / "idx")
+    os.makedirs(root)
+    corpus = synth_corpus(spark, 120)
+    from pyspark.sql import functions as F
+
+    from geocoderpl_spark.operators.docids import assign_doc_ids
+
+    base = 0
+    for i in range(2):
+        part = assign_doc_ids(
+            corpus.filter(F.pmod(F.xxhash64("path"), F.lit(2)) == i),
+            ["repo", "path", "commit"],
+        ).withColumn("doc_id", F.col("doc_id") + F.lit(base))
+        build_index(spark, part, os.path.join(root, f"seg_{i:05d}"),
+                    n_buckets=4, id_col="doc_id")
+        base += part.count()
+
+    seg = SegmentedIndex(spark, root)
+    assert len(seg.segments()) == 2 and seg.global_stats()[0] == 120
+    # merge WITHOUT GC — simulate the crash window after rename, before rmtree
+    from geocoderpl_spark.streaming.incremental import merge_segments
+
+    merged = os.path.join(root, "seg_00000-00001m")
+    merge_segments(spark, root, merged, n_buckets=4)
+    with open(os.path.join(merged, "merged_from.json"), "w") as f:
+        json.dump(["seg_00000", "seg_00001"], f)
+
+    live = SegmentedIndex(spark, root).segments()
+    assert [os.path.basename(s.root) for s in live] == ["seg_00000-00001m"]
+    n, _ = SegmentedIndex(spark, root).global_stats()
+    assert n == 120  # no double counting while old dirs still exist
+    q = spark.createDataFrame([(0, "term_0001", 5)], "query_id long, query_text string, k int")
+    before = SegmentedIndex(spark, root).topk(q).collect()
+    shutil.rmtree(os.path.join(root, "seg_00000"))
+    shutil.rmtree(os.path.join(root, "seg_00001"))
+    after = SegmentedIndex(spark, root).topk(q).collect()
+    assert [tuple(r) for r in before] == [tuple(r) for r in after]

@@ -72,3 +72,36 @@ def test_tf_and_docstats_kernels_identical(spark):
     da = docstats_pandas(docs, meta).toPandas().sort_values("doc_id").reset_index(drop=True)
     db = docstats_arrow(docs, meta).toPandas().sort_values("doc_id").reset_index(drop=True)
     assert da.equals(db)
+
+
+def test_tokenize_fuzz_four_way_parity():
+    """Hypothesis fuzz: spec (python re), DuckDB, and Arrow RE2 agree on
+    arbitrary printable+unicode strings."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from geocoderpl_spark.functions.tokenize import (
+        CAMEL_BOUNDARY,
+        NON_TOKEN,
+        TOKEN_RUN,
+        tokenize_py,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=80))
+    def check(raw):
+        expected = tokenize_py(raw)
+        sql = "select " + duckdb_tokenize_sql("?") + " as toks"
+        got_duck = duckdb.sql(sql, params=[raw]).fetchone()[0]
+        assert got_duck == expected, raw
+        arr = pa.array([raw])
+        spaced = pc.replace_substring_regex(arr, pattern=CAMEL_BOUNDARY, replacement=r"\1 \2")
+        low = pc.utf8_lower(spaced)
+        got_arrow = [t for t in pc.split_pattern_regex(low, pattern=NON_TOKEN).to_pylist()[0] if t]
+        assert got_arrow == expected, raw
+        # doclen shortcut (count of maximal token runs) == len(tokens)
+        assert pc.count_substring_regex(low, pattern=TOKEN_RUN).to_pylist()[0] == len(expected), raw
+
+    check()
