@@ -14,7 +14,7 @@ import os
 import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 SF001 = "/root/testdata/sf0.001"
@@ -391,6 +391,96 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_cosine_topk(_emb(spark, sf_dir), ANN_PROBES, dim=EMB_DIM, k=ANN_K)
 
 
+def q_stream_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming watermarked tumbling-window rollup, end to end:
+    the events table is replayed as micro-batch 1, then a far-future sentinel
+    event (batch 2) advances the watermark past every real window, so append
+    mode emits them all — the streamed result must equal the batch/SQL
+    rollup exactly. Exercises readStream -> withWatermark -> window ->
+    append parquet sink + checkpoint."""
+    import glob as _glob
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from geocoderpl_spark.streaming.windowed import start_windowed_rollup
+
+    tmp = _tempfile.mkdtemp(prefix="graft_stream_roll_")
+    sdir, odir = os.path.join(tmp, "in"), os.path.join(tmp, "out")
+    os.makedirs(sdir)
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = f"{sf_dir}/events.parquet"
+    files = sorted(_glob.glob(os.path.join(src, "*.parquet"))) if os.path.isdir(src) else [src]
+    for i, f in enumerate(files):
+        _shutil.copy(f, os.path.join(sdir, f"drop0_{i:04d}.parquet"))
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    sentinel = spark.createDataFrame(
+        [(-1, -1, "zz_sentinel", max_ts, 0.0, "{}")],
+        "event_id long, user_id long, event_type string, ts timestamp, value double, props string",
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 2 HOURS"))
+    sentinel.coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "sent"))
+    sf = _glob.glob(os.path.join(tmp, "sent", "*.parquet"))[0]
+    import time as _time
+
+    _time.sleep(1.1)  # sentinel must sort after the event files by mtime
+    _shutil.copy(sf, os.path.join(sdir, "drop1_sentinel.parquet"))
+    q = start_windowed_rollup(
+        spark, sdir, odir, watermark="1 minute", window="1 hour",
+        max_files_per_trigger=len(files),
+    )
+    q.awaitTermination(600)
+    return (
+        spark.read.parquet(odir)
+        .filter(F.col("event_type") != "zz_sentinel")
+        .select("window_start", "window_end", "event_type", "n", "sum_value")
+    )
+
+
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    sessionization with state carried across micro-batches. The events table
+    replays as two time-ordered micro-batches; the final emitted row per
+    user must equal the batch sessionize — same SQL oracle."""
+    import glob as _glob
+    import tempfile as _tempfile
+    import time as _time
+
+    from geocoderpl_spark.streaming.stateful import stateful_sessionize
+
+    tmp = _tempfile.mkdtemp(prefix="graft_stream_sess_")
+    sdir = os.path.join(tmp, "in")
+    os.makedirs(sdir)
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cut = events.selectExpr("percentile_approx(ts, 0.5) AS c").collect()[0]["c"]
+    for i, part in enumerate((events.filter(F.col("ts") < F.lit(cut)),
+                              events.filter(F.col("ts") >= F.lit(cut)))):
+        part.coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, f"s{i}"))
+        src = _glob.glob(os.path.join(tmp, f"s{i}", "*.parquet"))[0]
+        _time.sleep(1.1)  # mtime order = batch order
+        os.replace(src, os.path.join(sdir, f"drop_{i}.parquet"))
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sdir)
+    )
+    name = f"sess_{os.path.basename(tmp)}"
+    q = (
+        stateful_sessionize(stream)
+        .writeStream.outputMode("update").format("memory").queryName(name)
+        .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    # latest emitted row per user = the one with the largest n_events
+    w = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    )
+    return (
+        spark.table(name).withColumn("rn", w).filter(F.col("rn") == 1)
+        .select("user_id", "n_sessions", "n_events")
+    )
+
+
 def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal frame-sampling plan over the deterministic synthetic media
     table (the decode itself is stubbed; the plan is real)."""
@@ -470,6 +560,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "stream_windowed_rollup": q_stream_windowed_rollup,
+        "stream_sessionize": q_stream_sessionize,
         "mm_frame_sample": q_mm_frame_sample,
         "mm_decode_features": q_mm_decode_features,
     }
@@ -815,6 +907,25 @@ ranked AS (
   FROM scored
 )
 SELECT probe_id, rnk::INT AS rank, vec_id, cos FROM ranked WHERE rnk <= {ANN_K}
+""",
+        "stream_sessionize": """
+WITH flagged AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+)
+SELECT user_id, sum(new_sess)::BIGINT AS n_sessions, count(*) AS n_events
+FROM flagged GROUP BY user_id
+""",
+        "stream_windowed_rollup": """
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type, count(*) AS n,
+       (sum(value::DECIMAL(18,4)))::DOUBLE AS sum_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
 """,
         "mm_decode_features": """
 WITH m AS (

@@ -234,6 +234,11 @@ def compact_segments(
         index_root,
         f"seg_{names[0].removeprefix('seg_')}-{names[-1].removeprefix('seg_')}m",
     )
+    if os.path.exists(final):
+        # leftover from a compaction that crashed between rename and snapshot
+        # commit: it is unreferenced (live segments came from the snapshot /
+        # subsumption view and did not include it), so replace it
+        shutil.rmtree(final)
     os.rename(tmp, final)
     from ..plans.snapshots import commit_snapshot
 

@@ -205,3 +205,128 @@ def test_compaction_crash_window_is_safe(spark, tmp_path):
     shutil.rmtree(os.path.join(root, "seg_00001"))
     after = SegmentedIndex(spark, root).topk(q).collect()
     assert [tuple(r) for r in before] == [tuple(r) for r in after]
+
+
+def test_watermarked_windowed_rollup_drops_late_events(spark, tmp_path):
+    """Structured Streaming watermark semantics: tumbling windows emit once
+    the watermark passes them (append mode), a too-late event is dropped,
+    and emitted rows equal the batch recomputation over on-time events
+    restricted to closed windows."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from geocoderpl_spark.streaming.windowed import (
+        EVENTS_SCHEMA,
+        start_windowed_rollup,
+        windowed_rollup,
+    )
+
+    sdir, odir = str(tmp_path / "in"), str(tmp_path / "out")
+    os.makedirs(sdir)
+    base = "2024-01-01 {h:02d}:{m:02d}:00"
+
+    def ev(i, h, m, typ, val):
+        return (i, i % 7, typ, base.format(h=h, m=m), float(val), "{}")
+
+    drops = [
+        # hours 0-2
+        [ev(1, 0, 10, "click", 1.5), ev(2, 0, 40, "view", 2.0),
+         ev(3, 1, 5, "click", 3.0), ev(4, 2, 59, "view", 4.25)],
+        # hours 3-4 (watermark passes hours 0-2)
+        [ev(5, 3, 30, "click", 5.0), ev(6, 4, 45, "view", 6.5)],
+        # hour 5 + a LATE hour-0 event (must be dropped, hour 0 already final)
+        [ev(7, 5, 0, "click", 7.0), ev(8, 0, 20, "click", 99.0)],
+    ]
+    for i, rows in enumerate(drops):
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, ts string, value double, props string"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        df.coalesce(1).write.mode("overwrite").parquet(f"{sdir}/t.tmp")
+        import glob
+        import shutil
+
+        f = glob.glob(f"{sdir}/t.tmp/*.parquet")[0]
+        shutil.move(f, f"{sdir}/drop_{i}.parquet")
+        shutil.rmtree(f"{sdir}/t.tmp")
+        _time.sleep(1.1)  # distinct mtimes -> deterministic batch order
+
+    q = start_windowed_rollup(spark, sdir, odir, watermark="30 minutes",
+                              window="1 hour", max_files_per_trigger=1)
+    q.awaitTermination(300)
+
+    got = (
+        spark.read.parquet(odir).toPandas()
+        .sort_values(["window_start", "event_type"]).reset_index(drop=True)
+    )
+    ontime = [r for d in drops for r in d if r[0] != 8]  # event 8 is the late one
+    batch = spark.createDataFrame(
+        ontime, "event_id long, user_id long, event_type string, ts string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    exp = (
+        windowed_rollup(batch)
+        .filter(F.col("window_end") <= F.lit("2024-01-01 04:00:00").cast("timestamp"))
+        .toPandas()
+        .sort_values(["window_start", "event_type"]).reset_index(drop=True)
+    )
+    assert len(got) > 0
+    assert got.equals(exp), (got, exp)
+    # the late event's value (99.0) must appear nowhere
+    assert not (got.sum_value > 90).any()
+
+
+def test_stateful_sessionize_state_carries_across_batches(spark, tmp_path):
+    """applyInPandasWithState sessionization: state (last_ts, counters) must
+    carry across micro-batches — a session spanning the batch boundary is
+    NOT double-counted; final counts equal the batch operator."""
+    import glob
+    import shutil
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from geocoderpl_spark.streaming.stateful import stateful_sessionize
+
+    rows = [
+        # user 1: events 10 min apart straddling the batch split -> 1 session
+        (1, 1, "c", "2024-01-01 00:00:00", 0.0, "{}"),
+        (2, 1, "c", "2024-01-01 00:10:00", 0.0, "{}"),
+        (3, 1, "c", "2024-01-01 01:10:00", 0.0, "{}"),   # 60min gap -> new session
+        # user 2: both events in different batches, 10s apart -> 1 session
+        (4, 2, "c", "2024-01-01 00:20:00", 0.0, "{}"),
+        (5, 2, "c", "2024-01-01 00:20:10", 0.0, "{}"),
+    ]
+    schema = "event_id long, user_id long, event_type string, ts string, value double, props string"
+    sdir = str(tmp_path / "in")
+    os.makedirs(sdir)
+    batches = [[rows[0], rows[3]], [rows[1], rows[2], rows[4]]]
+    for i, rs in enumerate(batches):
+        df = spark.createDataFrame(rs, schema).withColumn("ts", F.to_timestamp("ts"))
+        df.coalesce(1).write.mode("overwrite").parquet(f"{sdir}/t.tmp")
+        f = glob.glob(f"{sdir}/t.tmp/*.parquet")[0]
+        shutil.move(f, f"{sdir}/drop_{i}.parquet")
+        shutil.rmtree(f"{sdir}/t.tmp")
+        _time.sleep(1.1)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, ts timestamp, value double, props string"
+        ).option("maxFilesPerTrigger", 1).parquet(sdir)
+    )
+    q = (
+        stateful_sessionize(stream)
+        .writeStream.outputMode("update").format("memory").queryName("sess_t")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    final = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in spark.table("sess_t").withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1").collect()
+    }
+    assert final[1] == (2, 3)   # boundary-straddling session not double-counted
+    assert final[2] == (1, 2)
