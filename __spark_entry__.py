@@ -38,6 +38,18 @@ BM25_QUERIES: list[tuple[int, str, int]] = [
 ANN_PROBES = [0, 1, 2, 3, 4]
 ANN_K = 5
 
+# Autocomplete (prefix) query set: last token is a prefix when the text ends
+# in a token char; trailing separator = all-exact; unknown prefix = empty.
+AUTOCOMPLETE_QUERIES: list[tuple[int, str, int]] = [
+    (0, "spark qu", 10),
+    (1, "the fast ta", 10),
+    (2, "win", 5),
+    (3, "spark query ", 10),
+    (4, "zzznope", 5),
+    (5, "s", 10),
+]
+AUTOCOMPLETE_MAX_EXP = 50
+
 # DuckDB twin of geocoderpl_spark.functions.tokenize.tokenize (kept in sync
 # with tests/test_tokenize.py which asserts all three implementations agree)
 def _duck_toks(expr: str) -> str:
@@ -168,6 +180,23 @@ def q_fts_bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _index_for(spark, sf_dir)
     hits = idx.topk(_bm25_queries_df(spark), mode="pruned")
     return idx.fetch(hits, cols=["lang", "source", "doclen"])
+
+
+def q_fts_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocomplete / prefix search over the persisted index — the
+    reference's per-keystroke entry point (geo_gui.py:122, SURVEY §3.2):
+    partial last word expands to the max_expansions highest-df dictionary
+    terms (bounded scan), scored disjunctively with the exact tokens."""
+    from geocoderpl_spark.operators.topk import query_topk_autocomplete
+
+    idx = _index_for(spark, sf_dir)
+    q = spark.createDataFrame(
+        AUTOCOMPLETE_QUERIES, "query_id long, query_text string, k int"
+    )
+    return query_topk_autocomplete(
+        idx.postings, idx.terms, q, idx.n_docs, idx.avgdl,
+        n_buckets=idx.n_buckets, max_expansions=AUTOCOMPLETE_MAX_EXP,
+    )
 
 
 def q_fts_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -530,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_bm25_topk": q_fts_bm25_topk,
         "fts_bm25_topk_indexed": q_fts_bm25_topk_indexed,
         "fts_bm25_topk_docs": q_fts_bm25_topk_docs,
+        "fts_autocomplete": q_fts_autocomplete,
         "fts_term_stats": q_fts_term_stats,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
@@ -577,6 +607,7 @@ def oracle_sql() -> dict[str, str]:
         "fts_bm25_topk": _BM25_CORE + _BM25_FINAL,
         "fts_bm25_topk_indexed": _BM25_CORE + _BM25_FINAL,
         "fts_bm25_topk_docs": _BM25_CORE + _BM25_DOCS_FINAL,
+        "fts_autocomplete": _autocomplete_oracle(),
         "fts_term_stats": f"""
 WITH tokd AS (SELECT doc_id, {toks} AS toks FROM documents),
 tf AS (
@@ -960,6 +991,70 @@ SELECT media_id::BIGINT AS media_id,
 FROM m
 """,
     }
+
+
+def _autocomplete_oracle() -> str:
+    """DuckDB twin of topk.query_topk_autocomplete: same prefix rule
+    (text ends in a token char), same bounded impact-ordered expansion
+    (starts_with, NOT LIKE — '_' in a prefix must stay literal), same
+    disjunctive scoring and qtf merge."""
+    rows = ", ".join(f"({i}, '{t}', {k})" for i, t, k in AUTOCOMPLETE_QUERIES)
+    return f"""
+WITH tokd AS (
+  SELECT doc_id, {_duck_toks('text')} AS toks FROM documents
+),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tokd
+  ) GROUP BY doc_id, dl, term
+),
+stats AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM tokd),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query_id, query_text, k) AS (VALUES {rows}),
+qp AS (
+  SELECT query_id, k, {_duck_toks('query_text')} AS toks,
+         CASE WHEN regexp_matches(query_text, '[a-zA-Z0-9_]$')
+                   AND len({_duck_toks('query_text')}) > 0
+              THEN ({_duck_toks('query_text')})[len({_duck_toks('query_text')})]
+         END AS prefix
+  FROM q
+),
+exact AS (
+  SELECT query_id, k, term,
+         count(*) - CASE WHEN term = min(prefix) THEN 1 ELSE 0 END AS qtf
+  FROM (SELECT query_id, k, prefix, unnest(toks) AS term FROM qp)
+  GROUP BY query_id, k, term
+),
+expd AS (
+  SELECT query_id, k, term, 1::BIGINT AS qtf FROM (
+    SELECT p.query_id, p.k, d.term,
+           row_number() OVER (PARTITION BY p.query_id
+                              ORDER BY d.df DESC, d.term) AS xr
+    FROM qp p JOIN dfreq d ON starts_with(d.term, p.prefix)
+    WHERE p.prefix IS NOT NULL
+  ) WHERE xr <= {AUTOCOMPLETE_MAX_EXP}
+),
+merged AS (
+  SELECT query_id, k, term, sum(qtf) AS qtf FROM (
+    SELECT * FROM exact WHERE qtf > 0 UNION ALL SELECT * FROM expd
+  ) GROUP BY query_id, k, term
+),
+scored AS (
+  SELECT m.query_id, m.k, tf.doc_id,
+         round(sum(m.qtf * ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                   * ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl)))), 6)
+           AS score
+  FROM tf JOIN dfreq d USING (term) JOIN merged m USING (term) CROSS JOIN stats s
+  GROUP BY m.query_id, m.k, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score, k,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT query_id::BIGINT AS query_id, rnk::INT AS rank, doc_id, score
+FROM ranked WHERE rnk <= k
+"""
 
 
 # ---------------------------------------------------------------------------

@@ -88,16 +88,14 @@ def tid_bucket(term_id: int, n_buckets: int) -> int:
     return xxhash64_long(term_id, seed=42) % n_buckets
 
 
-def query_topk_exact(
+def _score_gated(
     postings: DataFrame,
-    terms: DataFrame,
-    queries: DataFrame,
-    n_docs: int,
+    gated: DataFrame,
     avgdl: float,
-    n_buckets: int | None = None,
+    n_buckets: int | None,
 ) -> DataFrame:
-    """Distributed exact BM25 top-k. queries: (query_id, query_text, k)."""
-    gated = gate_terms(tokenize_queries(queries), terms, n_docs)
+    """Shared scoring tail: gated (query_id, k, term_id, qtf, idf) ->
+    pruned posting scan -> decode -> BM25 sum -> top-k window."""
     # the gated term set is tiny (distinct query terms); collecting it turns
     # the posting prune into literal pushed filters
     tids = [r["term_id"] for r in gated.select("term_id").distinct().collect()]
@@ -117,6 +115,89 @@ def query_topk_exact(
         .agg(F.round(F.sum("contrib"), SCORE_DECIMALS).alias("score"))
     )
     return _topk_window(scored)
+
+
+def query_topk_exact(
+    postings: DataFrame,
+    terms: DataFrame,
+    queries: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Distributed exact BM25 top-k. queries: (query_id, query_text, k)."""
+    gated = gate_terms(tokenize_queries(queries), terms, n_docs)
+    return _score_gated(postings, gated, avgdl, n_buckets)
+
+
+def query_topk_autocomplete(
+    postings: DataFrame,
+    terms: DataFrame,
+    queries: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    n_buckets: int | None = None,
+    max_expansions: int = 50,
+) -> DataFrame:
+    """Autocomplete / prefix search — the reference's per-keystroke entry
+    point (``geo_gui.py:122`` ``on_text_changed``: every keystroke queries
+    with a partial last word; SURVEY.md §3.2).
+
+    Semantics (shared with the SQL oracle): if the raw query text ends in a
+    token character, its LAST token is a *prefix*; it is expanded against
+    the term dictionary to the ``max_expansions`` highest-df matches
+    (impact-ordered, term-asc tie-break — the bounded-scan idea of the
+    reference's ``MAX_SEKTS``), scored disjunctively (qtf=1 each) together
+    with the remaining exact tokens. If the text ends in a separator, every
+    token is exact (the user finished the word). A term matched both ways
+    sums its qtf.
+
+    Scale shape: the dictionary range-scan ``term LIKE 'pref%'`` hits a
+    sorted/partitioned terms table (term_id is the rank of term, so the
+    expansion is a contiguous id range → contiguous posting buckets); the
+    expansion cap bounds the scan exactly like the hot-term cap.
+    """
+    toks = tokenize("query_text")
+    q = queries.select(
+        "query_id", "k", "query_text",
+        toks.alias("toks"),
+        F.regexp_like(F.col("query_text"), F.lit("[a-zA-Z0-9_]$")).alias("pmode"),
+    ).withColumn(
+        "prefix",
+        F.when(F.col("pmode") & (F.size("toks") > 0), F.element_at("toks", -1)),
+    )
+    # exact tokens: all tokens, minus ONE occurrence of the prefix token
+    exact = (
+        q.select("query_id", "k", "prefix", F.explode("toks").alias("term"))
+        .groupBy("query_id", "k", "prefix", "term")
+        .agg(F.count(F.lit(1)).alias("qtf"))
+        .withColumn(
+            "qtf",
+            F.when(F.col("term") == F.col("prefix"), F.col("qtf") - 1).otherwise(F.col("qtf")),
+        )
+        .filter(F.col("qtf") > 0)
+        .select("query_id", "k", "term", "qtf")
+    )
+    # prefix expansions: top-df dictionary terms with that prefix, qtf=1
+    pref = q.filter(F.col("prefix").isNotNull()).select("query_id", "k", "prefix")
+    exp = (
+        terms.join(F.broadcast(pref), F.col("term").startswith(F.col("prefix")))
+        .withColumn(
+            "xrank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("df"), F.asc("term"))
+            ),
+        )
+        .filter(F.col("xrank") <= max_expansions)
+        .select("query_id", "k", "term", F.lit(1).cast("long").alias("qtf"))
+    )
+    merged = (
+        exact.unionByName(exp)
+        .groupBy("query_id", "k", "term")
+        .agg(F.sum("qtf").alias("qtf"))
+    )
+    gated = gate_terms(merged, terms, n_docs)
+    return _score_gated(postings, gated, avgdl, n_buckets)
 
 
 def _pruned_kernel(avgdl: float):

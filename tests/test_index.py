@@ -228,3 +228,45 @@ def test_query_cache_serves_repeats_without_spark(spark, index):
     after = tracker.getJobIdsForGroup(None)
     assert got2 == got1
     assert before == after, "cache hit ran a Spark job"
+
+
+def test_autocomplete_prefix_semantics(spark, index, corpus_pdf):
+    """Prefix search: (a) '_' in a prefix is literal (startswith, never a
+    LIKE wildcard), (b) expansion is capped impact-ordered, (c) trailing
+    separator means all-exact, (d) results equal a hand-expanded OR query."""
+    from geocoderpl_spark.operators.topk import query_topk_autocomplete
+
+    terms_pdf = index.terms.toPandas()
+    # (a)+(b): 'term_00' must expand ONLY to terms starting 'term_00'
+    q = spark.createDataFrame(
+        [(0, "term_00", 10)], "query_id long, query_text string, k int"
+    )
+    got = query_topk_autocomplete(
+        index.postings, index.terms, q, index.n_docs, index.avgdl,
+        n_buckets=index.n_buckets, max_expansions=5,
+    ).toPandas().sort_values("rank").reset_index(drop=True)
+    exp_terms = (
+        terms_pdf[terms_pdf.term.str.startswith("term_00")]
+        .sort_values(["df", "term"], ascending=[False, True]).head(5)
+    )
+    # hand-build the equivalent OR query through the exact path
+    or_text = " ".join(exp_terms.term) + " "   # trailing sep -> all exact
+    q2 = spark.createDataFrame(
+        [(0, or_text, 10)], "query_id long, query_text string, k int"
+    )
+    exp = index.topk(q2, "exact").toPandas().sort_values("rank").reset_index(drop=True)
+    assert got.equals(exp)
+
+    # (c) trailing separator: 'term_0001 ' behaves exactly like the plain query
+    q3 = spark.createDataFrame(
+        [(0, "term_0001 ", 10)], "query_id long, query_text string, k int"
+    )
+    got3 = query_topk_autocomplete(
+        index.postings, index.terms, q3, index.n_docs, index.avgdl,
+        n_buckets=index.n_buckets,
+    ).toPandas().sort_values("rank").reset_index(drop=True)
+    q4 = spark.createDataFrame(
+        [(0, "term_0001", 10)], "query_id long, query_text string, k int"
+    )
+    exp3 = index.topk(q4, "exact").toPandas().sort_values("rank").reset_index(drop=True)
+    assert got3.equals(exp3)
