@@ -270,3 +270,26 @@ def test_autocomplete_prefix_semantics(spark, index, corpus_pdf):
     )
     exp3 = index.topk(q4, "exact").toPandas().sort_values("rank").reset_index(drop=True)
     assert got3.equals(exp3)
+
+
+def test_build_identical_across_source_formats(spark, tmp_path):
+    """The build is source-format-agnostic: the same corpus via parquet,
+    JSONL, and CSV (quoted multiline content) produces byte-identical
+    posting blocks."""
+    from geocoderpl_spark.sources.readers import read_corpus, write_corpus
+
+    corpus = synth_corpus(spark, 200)
+    outs = {}
+    for fmt in ("parquet", "jsonl", "csv"):
+        src = str(tmp_path / f"src_{fmt}")
+        write_corpus(corpus, src, fmt)
+        loaded = read_corpus(spark, src, fmt)
+        assert loaded.count() == 200
+        idx = build_index(spark, loaded, str(tmp_path / f"idx_{fmt}"),
+                          n_buckets=4, partitions=4)
+        outs[fmt] = (
+            idx.postings.toPandas()
+            .sort_values(["term_id", "block_id"]).reset_index(drop=True)
+        )
+    assert outs["parquet"].equals(outs["jsonl"])
+    assert outs["parquet"].equals(outs["csv"])  # incl. compressed binaries
