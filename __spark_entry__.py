@@ -199,6 +199,26 @@ def q_fts_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PHRASE_QUERIES: list[tuple[int, str]] = [
+    (0, "hash join"),
+    (1, "the fast"),
+    (2, "window"),            # single token: plain occurrence count
+    (3, "spark zzznope"),     # never adjacent -> 0 rows
+    (4, "fast table scan"),   # 3-token phrase
+]
+
+
+def q_fts_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase (token-adjacency) search, top-k docs by occurrence count
+    — widens the query surface beyond bag-of-words BM25 (the reference's
+    substring/autocomplete matching is order-sensitive; this is the
+    tokenized analog of that order sensitivity)."""
+    from geocoderpl_spark.operators.textstats import phrase_match
+
+    p = spark.createDataFrame(PHRASE_QUERIES, "query_id long, phrase_text string")
+    return phrase_match(_docs(spark, sf_dir), p, k=10)
+
+
 def q_fts_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Term dictionary (df, cf) — the vocabulary table (reference K3 analog)."""
     from geocoderpl_spark.operators.postings import build_terms, term_frequencies, tokenized_docs
@@ -560,6 +580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_bm25_topk_indexed": q_fts_bm25_topk_indexed,
         "fts_bm25_topk_docs": q_fts_bm25_topk_docs,
         "fts_autocomplete": q_fts_autocomplete,
+        "fts_phrase_match": q_fts_phrase_match,
         "fts_term_stats": q_fts_term_stats,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
@@ -608,6 +629,28 @@ def oracle_sql() -> dict[str, str]:
         "fts_bm25_topk_indexed": _BM25_CORE + _BM25_FINAL,
         "fts_bm25_topk_docs": _BM25_CORE + _BM25_DOCS_FINAL,
         "fts_autocomplete": _autocomplete_oracle(),
+        "fts_phrase_match": f"""
+WITH tokd AS (SELECT doc_id, {toks} AS toks FROM documents),
+p(query_id, phrase_text) AS (VALUES {", ".join(f"({i}, '{t}')" for i, t in PHRASE_QUERIES)}),
+pt AS (
+  SELECT query_id, {_duck_toks('phrase_text')} AS ptoks FROM p
+  WHERE len({_duck_toks('phrase_text')}) > 0
+),
+counted AS (
+  SELECT pt.query_id, t.doc_id,
+         len(list_filter(generate_series(1, len(t.toks) - len(pt.ptoks) + 1),
+             i -> list_slice(t.toks, i, i + len(pt.ptoks) - 1) = pt.ptoks)) AS n_matches
+  FROM tokd t CROSS JOIN pt
+),
+ranked AS (
+  SELECT query_id, doc_id, n_matches,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY n_matches DESC, doc_id) AS rnk
+  FROM counted WHERE n_matches > 0
+)
+SELECT query_id, rnk::INT AS rank, doc_id, n_matches::INT AS n_matches
+FROM ranked WHERE rnk <= 10
+""",
         "fts_term_stats": f"""
 WITH tokd AS (SELECT doc_id, {toks} AS toks FROM documents),
 tf AS (

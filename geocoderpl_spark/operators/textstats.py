@@ -108,3 +108,58 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     """
     canon = F.array_join(tokenize(text_col), " ")
     return docs.select(F.col(id_col), F.md5(canon).alias("fingerprint"))
+
+
+def phrase_match(
+    docs: DataFrame,
+    phrases: DataFrame,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase search (token-adjacency): for each phrase, the top-k docs
+    by occurrence count of the exact token sequence.
+
+    phrases: (query_id, phrase_text); output (query_id, rank, doc_id,
+    n_matches). Pure column expressions — the tokenized doc array is scanned
+    with a vectorized position filter (JVM-side, no UDF); count at position i
+    requires toks[i..i+n-1] == phrase tokens. Empty/one-token phrases count
+    plain term occurrences.
+
+    Scale note: this is the from-corpus variant (one scan per phrase batch,
+    phrases broadcast) — the right baseline and batch shape. An index-backed
+    variant needs positional postings (positions delta-varint per posting,
+    count = tf), planned as a future index extension; the adjacency-verify
+    join is the same either way.
+    """
+    from ..functions.tokenize import tokenize
+
+    tok = docs.select(F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks"))
+    p = phrases.select(
+        "query_id", tokenize("phrase_text").alias("ptoks")
+    ).filter(F.size("ptoks") > 0)
+    joined = tok.crossJoin(F.broadcast(p))
+    # positions 1..len-plen+1; match iff the token window equals the phrase
+    npos = F.size("toks") - F.size("ptoks") + 1
+    counted = joined.select(
+        "query_id",
+        "doc_id",
+        F.when(
+            npos >= 1,
+            F.size(
+                F.filter(
+                    F.sequence(F.lit(1), F.greatest(npos, F.lit(1))),
+                    lambda i: F.slice("toks", i.cast("int"), F.size("ptoks"))
+                    == F.col("ptoks"),
+                )
+            ),
+        ).otherwise(F.lit(0)).alias("n_matches"),
+    ).filter(F.col("n_matches") > 0)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("n_matches"), F.asc("doc_id"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int").alias("rank"), "doc_id", "n_matches")
+    )

@@ -217,3 +217,20 @@ def test_ivf_recall_vs_bruteforce(spark):
     for _, r in approx.iterrows():
         if (r.probe_id, r.vec_id) in ecos:
             assert r.cos == ecos[(r.probe_id, r.vec_id)]
+
+
+def test_phrase_match_requires_adjacency(spark, docs):
+    from geocoderpl_spark.operators.textstats import phrase_match
+
+    p = spark.createDataFrame(
+        [(0, "quick brown fox"), (1, "brown quick"), (2, "the lazy dog"),
+         (3, "the the")],
+        "query_id long, phrase_text string",
+    )
+    got = {}
+    for r in phrase_match(docs, p, k=10).collect():
+        got.setdefault(r.query_id, {})[r.doc_id] = r.n_matches
+    assert got[0] == {0: 1, 1: 1, 3: 1}   # exact dup of 0 matches too
+    assert 1 not in got                    # order matters
+    assert got[2] == {0: 1, 3: 1}          # 'lazy cat' doc excluded
+    assert 3 not in got                    # no overlapping self-adjacency here
