@@ -219,6 +219,37 @@ def q_fts_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_match(_docs(spark, sf_dir), p, k=10)
 
 
+_POS_INDEX_CACHE: dict[str, object] = {}
+
+
+def _pos_index_for(spark: SparkSession, sf_dir: str):
+    from geocoderpl_spark.plans.build import build_index
+
+    if sf_dir not in _POS_INDEX_CACHE:
+        out = os.path.join(
+            tempfile.gettempdir(), "graft_posidx_" + sf_dir.strip("/").replace("/", "_")
+        )
+        _POS_INDEX_CACHE[sf_dir] = build_index(
+            spark, _docs(spark, sf_dir), out, n_buckets=16, id_col="doc_id",
+            content_col="text", corpus_fp=_corpus_fp(sf_dir), positional=True,
+        )
+    return _POS_INDEX_CACHE[sf_dir]
+
+
+def q_fts_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-backed exact phrase search: positional postings (positions
+    delta-varint per posting, count = tf) + ordinal-shift intersection —
+    result-identical to the corpus-scan phrase_match, so it shares the same
+    SQL oracle. The scan touches only the phrase terms' buckets."""
+    from geocoderpl_spark.operators.topk import query_phrase_indexed
+
+    idx = _pos_index_for(spark, sf_dir)
+    p = spark.createDataFrame(PHRASE_QUERIES, "query_id long, phrase_text string")
+    return query_phrase_indexed(
+        idx.postings, idx.terms, p, n_buckets=idx.n_buckets, k=10
+    )
+
+
 def q_fts_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Term dictionary (df, cf) — the vocabulary table (reference K3 analog)."""
     from geocoderpl_spark.operators.postings import build_terms, term_frequencies, tokenized_docs
@@ -581,6 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_bm25_topk_docs": q_fts_bm25_topk_docs,
         "fts_autocomplete": q_fts_autocomplete,
         "fts_phrase_match": q_fts_phrase_match,
+        "fts_phrase_indexed": q_fts_phrase_indexed,
         "fts_term_stats": q_fts_term_stats,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
@@ -624,7 +656,7 @@ def oracle_sql() -> dict[str, str]:
 
     toks = _duck_toks("text")
     qk = ", ".join(str(int(x)) for x in ANN_PROBES)
-    return {
+    d = {
         "fts_bm25_topk": _BM25_CORE + _BM25_FINAL,
         "fts_bm25_topk_indexed": _BM25_CORE + _BM25_FINAL,
         "fts_bm25_topk_docs": _BM25_CORE + _BM25_DOCS_FINAL,
@@ -1034,6 +1066,10 @@ SELECT media_id::BIGINT AS media_id,
 FROM m
 """,
     }
+    # the indexed phrase path is result-identical to the corpus scan by
+    # construction — one oracle serves both gates
+    d["fts_phrase_indexed"] = d["fts_phrase_match"]
+    return d
 
 
 def _autocomplete_oracle() -> str:

@@ -45,6 +45,9 @@ POSTINGS_SCHEMA = (
     "first_doc long, last_doc long, max_tf int, block_max_tfn float, "
     "doc_ids binary, tfs binary, dls binary"
 )
+# positional variant: + per-block varint stream of token positions
+# (per posting: first absolute, then gaps; position count per posting = tf)
+POSTINGS_POS_SCHEMA = POSTINGS_SCHEMA + ", poss binary"
 
 N_BUCKETS = 64  # term-hash buckets for query-time partition pruning
 
@@ -167,6 +170,69 @@ def term_frequencies_arrow(docs: DataFrame, content_col: str = "content") -> Dat
 
     return docs.select("doc_id", content_col).mapInArrow(
         fn, schema="term string, doc_id long, doclen long, tf long"
+    )
+
+
+def term_positions_arrow(docs: DataFrame, content_col: str = "content") -> DataFrame:
+    """Positional tf kernel: like :func:`term_frequencies_arrow` plus the
+    1-based token positions of each (term, doc) occurrence — the input for
+    positional (phrase-capable) indexes. Positions index the *filtered*
+    token array, identical to what ``tokenize()`` exposes, so the indexed
+    phrase counts equal the corpus-scan ``textstats.phrase_match`` exactly.
+    All in Arrow buffers; the only additions over the tf kernel are an
+    arange-per-doc (vectorized first-index trick) and a list aggregation."""
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from ..functions.tokenize import CAMEL_BOUNDARY, NON_TOKEN
+
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            content = pc.fill_null(rb.column(1), "")
+            spaced = pc.replace_substring_regex(
+                content, pattern=CAMEL_BOUNDARY, replacement=r"\1 \2"
+            )
+            toks = pc.split_pattern_regex(pc.utf8_lower(spaced), pattern=NON_TOKEN)
+            lengths = pc.list_value_length(toks).to_numpy().astype(np.int64)
+            parent = np.repeat(np.arange(n, dtype=np.int64), lengths)
+            flat = pc.list_flatten(toks)
+            keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+            parent = parent[keep]
+            doclen = np.bincount(parent, minlength=n)
+            # 1-based position within each doc's FILTERED token stream
+            idx = np.arange(parent.size, dtype=np.int64)
+            pos = (idx - np.searchsorted(parent, parent, side="left") + 1).astype(np.int32)
+            doc_ids = rb.column(0).to_numpy()
+            tbl = pa.table(
+                {
+                    "term": flat.filter(pa.array(keep)),
+                    "doc_id": pa.array(doc_ids[parent], pa.int64()),
+                    "doclen": pa.array(doclen[parent], pa.int64()),
+                    "pos": pa.array(pos, pa.int32()),
+                }
+            )
+            agg = tbl.group_by(["term", "doc_id", "doclen"]).aggregate(
+                [("pos", "list"), ([], "count_all")]
+            )
+            out = pa.table(
+                {
+                    "term": agg["term"].cast(pa.string()),
+                    "doc_id": agg["doc_id"],
+                    "doclen": agg["doclen"],
+                    "tf": agg["count_all"].cast(pa.int64()),
+                    "positions": agg["pos_list"],
+                }
+            )
+            yield from out.to_batches()
+
+    return docs.select("doc_id", content_col).mapInArrow(
+        fn,
+        schema="term string, doc_id long, doclen long, tf long, positions array<int>",
     )
 
 
@@ -354,28 +420,46 @@ def _encode_frame(pdf: pd.DataFrame, avgdl: float, np) -> Iterator[pd.DataFrame]
         hi = ends[bends - 1]
         return [buf[a:b].tobytes() for a, b in zip(lo, hi)]
 
-    out = pd.DataFrame(
-        {
-            "bucket": buckets[bstarts].astype(np.int32),
-            "term_id": terms[bstarts],
-            "block_id": docs[bstarts],
-            "n": bn.astype(np.int32),
-            "first_doc": docs[bstarts],
-            "last_doc": docs[bends - 1],
-            "max_tf": np.maximum.reduceat(tfs, bstarts).astype(np.int32),
-            # rounded UP one float32 ulp: the MaxScore kernel treats this as
-            # a true upper bound, and a plain float32 cast can round below
-            # the float64 max (~6e-8 rel), which could prune a top-k doc
-            "block_max_tfn": np.nextafter(
-                np.maximum.reduceat(tfn, bstarts).astype(np.float32),
-                np.float32(np.inf),
-            ),
-            "doc_ids": encode_column(gaps),
-            "tfs": encode_column(tfs.astype(np.uint64)),
-            "dls": encode_column(dls.astype(np.uint64)),
-        }
-    )
-    yield out
+    cols = {
+        "bucket": buckets[bstarts].astype(np.int32),
+        "term_id": terms[bstarts],
+        "block_id": docs[bstarts],
+        "n": bn.astype(np.int32),
+        "first_doc": docs[bstarts],
+        "last_doc": docs[bends - 1],
+        "max_tf": np.maximum.reduceat(tfs, bstarts).astype(np.int32),
+        # rounded UP one float32 ulp: the MaxScore kernel treats this as
+        # a true upper bound, and a plain float32 cast can round below
+        # the float64 max (~6e-8 rel), which could prune a top-k doc
+        "block_max_tfn": np.nextafter(
+            np.maximum.reduceat(tfn, bstarts).astype(np.float32),
+            np.float32(np.inf),
+        ),
+        "doc_ids": encode_column(gaps),
+        "tfs": encode_column(tfs.astype(np.uint64)),
+        "dls": encode_column(dls.astype(np.uint64)),
+    }
+    if "positions" in pdf.columns:
+        # flatten per-posting position lists; sort within each posting;
+        # delta-encode with an absolute reset at every posting head
+        flat_pos = np.concatenate([np.asarray(p, dtype=np.int64) for p in pdf["positions"]])
+        flat_row = np.repeat(np.arange(n_rows, dtype=np.int64), tfs)
+        order = np.lexsort((flat_pos, flat_row))
+        flat_pos = flat_pos[order]
+        pcum = np.concatenate([[0], np.cumsum(tfs)])
+        pgaps = np.empty(flat_pos.size, dtype=np.uint64)
+        pgaps[1:] = (flat_pos[1:] - flat_pos[:-1]).astype(np.uint64)
+        heads = pcum[:-1]  # first position index of each posting
+        pgaps[heads] = flat_pos[heads].astype(np.uint64)
+        from ..functions.codec import varint_encode_with_lengths as _venc
+
+        pbuf, plens = _venc(pgaps)
+        pends = np.cumsum(plens)
+        pstarts = pends - plens
+        lo = pstarts[pcum[bstarts]]
+        hi = pends[pcum[bends] - 1]
+        cols["poss"] = [pbuf[a:b].tobytes() for a, b in zip(lo, hi)]
+    yield pd.DataFrame(cols)
 
 
 def build_postings(
@@ -412,15 +496,17 @@ def build_postings(
         slice_docs = max(BLOCK_SIZE, n_docs // (partitions * 4) + 1)
     else:
         slice_docs = 1 << 20
+    positional = "positions" in tf.columns
     keyed = tf.join(F.broadcast(terms.select("term", "term_id")), "term").withColumn(
         "bucket", F.pmod(F.xxhash64("term_id"), F.lit(n_buckets)).cast("int")
     )
     if bucket_mod is not None:
         g, n_groups = bucket_mod
         keyed = keyed.filter(F.pmod(F.col("bucket"), F.lit(n_groups)) == g)
+    pos_cols = ["positions"] if positional else []
     keyed = (
         keyed.withColumn("slice", (F.col("doc_id") / F.lit(slice_docs)).cast("long"))
-        .select("bucket", "slice", "term_id", "doc_id", "doclen", "tf")
+        .select("bucket", "slice", "term_id", "doc_id", "doclen", "tf", *pos_cols)
         .repartition(partitions, "bucket", "slice")
         .sortWithinPartitions("bucket", "slice", "term_id", "doc_id")
     )
@@ -432,8 +518,56 @@ def build_postings(
         "bucket", "term_id", "doc_id",
         F.col("doclen").cast("int").alias("doclen"),
         F.col("tf").cast("int").alias("tf"),
+        *pos_cols,
     )
-    return narrow.mapInPandas(_encode_partition(avgdl), schema=POSTINGS_SCHEMA)
+    schema = POSTINGS_POS_SCHEMA if positional else POSTINGS_SCHEMA
+    return narrow.mapInPandas(_encode_partition(avgdl), schema=schema)
+
+
+def decode_postings_positional(blocks: DataFrame) -> DataFrame:
+    """Positional blocks -> (term_id, doc_id, tf, doclen, positions). The
+    per-posting position count IS tf, so the positions stream splits with no
+    extra metadata."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..functions.codec import decode_doc_gaps, decode_tfs
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = [decode_doc_gaps(b) for b in pdf["doc_ids"]]
+            tfs = [decode_tfs(b) for b in pdf["tfs"]]
+            dls = [decode_tfs(b) for b in pdf["dls"]]
+            poss = []
+            for braw, btf in zip(pdf["poss"], tfs):
+                gaps = decode_tfs(braw)  # raw varints (uint64 stream)
+                pcum = np.concatenate([[0], np.cumsum(btf)])
+                vals = np.cumsum(gaps)
+                # undo the cross-posting cumsum: rebase each posting to its
+                # absolute head (head gap was stored absolute)
+                heads = pcum[:-1].astype(np.int64)
+                base = vals[heads] - gaps[heads]
+                vals = vals - np.repeat(base, btf)
+                poss.extend(
+                    vals[pcum[i]:pcum[i + 1]].astype(np.int32) for i in range(len(btf))
+                )
+            reps = np.array([len(x) for x in ids])
+            yield pd.DataFrame(
+                {
+                    "term_id": np.repeat(pdf["term_id"].to_numpy(), reps),
+                    "doc_id": np.concatenate(ids),
+                    "tf": np.concatenate(tfs),
+                    "doclen": np.concatenate(dls),
+                    "positions": poss,
+                }
+            )
+
+    return blocks.mapInPandas(
+        fn,
+        schema="term_id long, doc_id long, tf long, doclen long, positions array<int>",
+    )
 
 
 def decode_postings(blocks: DataFrame) -> DataFrame:

@@ -439,3 +439,64 @@ def query_topk_pruned(
         out = out.unionByName(hot)
     # queries whose terms are all unknown produce no group -> naturally empty
     return out
+
+
+def query_phrase_indexed(
+    postings: DataFrame,
+    terms: DataFrame,
+    phrases: DataFrame,
+    n_buckets: int | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """Exact phrase search over a POSITIONAL index (build_index(positional=
+    True)): the index-backed twin of textstats.phrase_match, result-identical
+    by construction.
+
+    Plan: phrase tokens with ordinals -> dictionary gate (any unknown token
+    => phrase can't match, query dropped) -> literal-pruned positional
+    posting scan of ONLY the phrase's terms -> decode positions -> for
+    ordinal j shift positions by -j -> a phrase occurrence at position p is
+    a (doc, p) cell hit by ALL ordinals -> count per doc -> top-k. Every
+    join key is (doc_id, adj) — uniform; the scan touches the same few
+    buckets as a BM25 query over the same terms. phrases: (query_id,
+    phrase_text); output (query_id, rank, doc_id, n_matches).
+    """
+    from .postings import decode_postings_positional
+
+    spark = postings.sparkSession
+    p = phrases.select(
+        "query_id", F.posexplode(tokenize("phrase_text")).alias("j", "term")
+    )
+    plen = p.groupBy("query_id").agg(F.count(F.lit(1)).alias("plen"))
+    gated = p.join(F.broadcast(terms.select("term", "term_id")), "term", "left")
+    # vocabulary gate: a phrase containing any unknown token matches nothing
+    bad = gated.filter(F.col("term_id").isNull()).select("query_id").distinct()
+    gated = gated.join(F.broadcast(bad), "query_id", "left_anti")
+    pt = gated.select("query_id", "j", "term_id").join(F.broadcast(plen), "query_id")
+    meta = pt.collect()  # metadata-sized: (phrase x ordinal) rows
+    if not meta:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, doc_id long, n_matches int"
+        )
+    tids = sorted({r["term_id"] for r in meta})
+    rows = decode_postings_positional(_pruned_scan(postings, tids, n_buckets))
+    hits = (
+        rows.join(F.broadcast(pt), "term_id")
+        .select("query_id", "plen", "j", "doc_id", F.explode("positions").alias("pos"))
+        .select(
+            "query_id", "plen", "j", "doc_id", (F.col("pos") - F.col("j")).alias("adj")
+        )
+        .filter(F.col("adj") >= 1)
+        .groupBy("query_id", "plen", "doc_id", "adj")
+        .agg(F.countDistinct("j").alias("nj"))
+        .filter(F.col("nj") == F.col("plen"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_matches"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("n_matches"), F.asc("doc_id"))
+    return (
+        hits.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int").alias("rank"),
+                "doc_id", "n_matches")
+    )

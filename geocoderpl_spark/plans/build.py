@@ -52,6 +52,12 @@ def _kernels():
         return term_frequencies_pandas, docstats_pandas
     return term_frequencies_arrow, docstats_arrow
 
+
+def _tf_kernel_positional():
+    from ..operators.postings import term_positions_arrow
+
+    return term_positions_arrow
+
 STAGES = ("docstats", "tf", "terms", "postings", "meta")
 
 
@@ -74,6 +80,7 @@ class InvertedIndex:
     n_docs: int
     avgdl: float
     n_buckets: int
+    positional: bool = False
 
     @property
     def postings(self) -> DataFrame:
@@ -99,6 +106,7 @@ class InvertedIndex:
             n_docs=int(meta["n_docs"]),
             avgdl=float(meta["avgdl"]),
             n_buckets=int(meta["n_buckets"]),
+            positional=bool(meta.get("positional", False)),
         )
 
     _terms_cached: DataFrame | None = None
@@ -250,6 +258,7 @@ def build_index(
     content_col: str = "content",
     corpus_fp: str | None = None,
     postings_groups: int = 1,
+    positional: bool = False,
 ) -> InvertedIndex:
     """Build (or resume building) the index for ``corpus`` at ``out_dir``.
 
@@ -339,7 +348,8 @@ def build_index(
                 docs = corpus.withColumn("doc_id", F.col(id_col).cast("long"))
             else:
                 docs = corpus.join(docstats.select("doc_id", *join_cols), join_cols)
-            _kernels()[0](docs, content_col).write.mode("overwrite").parquet(p["tf"])
+            tf_kernel = _tf_kernel_positional() if positional else _kernels()[0]
+            tf_kernel(docs, content_col).write.mode("overwrite").parquet(p["tf"])
             return -1
 
         timed("tf", s2)
@@ -405,7 +415,8 @@ def build_index(
     with open(os.path.join(p["meta"], "meta.json"), "w") as f:
         json.dump(
             {"n_docs": n_docs, "avgdl": avgdl, "n_buckets": n_buckets,
-             "partitions": partitions, "corpus_fp": corpus_fp},
+             "partitions": partitions, "corpus_fp": corpus_fp,
+             "positional": positional},
             f,
         )
 
@@ -428,5 +439,6 @@ def build_index(
                                 "wall_ms": wall_ms, "status": status}) + "\n")
 
     return InvertedIndex(
-        root=out_dir, spark=spark, n_docs=n_docs, avgdl=avgdl, n_buckets=n_buckets
+        root=out_dir, spark=spark, n_docs=n_docs, avgdl=avgdl,
+        n_buckets=n_buckets, positional=positional,
     )

@@ -293,3 +293,52 @@ def test_build_identical_across_source_formats(spark, tmp_path):
         )
     assert outs["parquet"].equals(outs["jsonl"])
     assert outs["parquet"].equals(outs["csv"])  # incl. compressed binaries
+
+
+def test_positional_index_phrase_equals_corpus_scan(spark, tmp_path):
+    """positional=True index: decoded positions round-trip exactly, and the
+    index-backed phrase search equals the corpus-scan phrase_match on every
+    query (incl. repeated-token and 3-token phrases)."""
+    from geocoderpl_spark.operators.postings import decode_postings_positional
+    from geocoderpl_spark.operators.textstats import phrase_match
+    from geocoderpl_spark.operators.topk import query_phrase_indexed
+    from geocoderpl_spark.functions.tokenize import tokenize_py
+
+    corpus = synth_corpus(spark, 300)
+    idx = build_index(spark, corpus, str(tmp_path / "pidx"), n_buckets=4,
+                      partitions=4, positional=True)
+    assert idx.positional
+
+    # positions round-trip: engine positions == recomputed token positions
+    rows = decode_postings_positional(idx.postings)
+    terms = {r.term_id: r.term for r in idx.terms.collect()}
+    docs_pdf = corpus.toPandas().sort_values(["repo", "path", "commit"]).reset_index(drop=True)
+    sample = rows.limit(500).collect()
+    toks_cache = {}
+    for r in sample:
+        if r.doc_id not in toks_cache:
+            toks_cache[r.doc_id] = tokenize_py(docs_pdf.loc[r.doc_id, "content"])
+        toks = toks_cache[r.doc_id]
+        want = [i + 1 for i, t in enumerate(toks) if t == terms[r.term_id]]
+        assert list(r.positions) == want
+        assert r.tf == len(want)
+
+    docs = corpus  # phrase ops
+    phrases = spark.createDataFrame(
+        [(0, "term_0001 term_0002"), (1, "the_hot_term the_hot_term"),
+         (2, "camelCaseFoo"), (3, "zz_nope term_0001")],
+        "query_id long, phrase_text string",
+    )
+    from pyspark.sql import functions as F
+
+    # corpus scan needs the index's doc ids: join content through docstats
+    scan = phrase_match(
+        idx.docstats.select("doc_id", "repo", "path", "commit")
+        .join(docs, ["repo", "path", "commit"])
+        .select("doc_id", F.col("content").alias("text")),
+        phrases,
+    ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    indexed = query_phrase_indexed(
+        idx.postings, idx.terms, phrases, n_buckets=idx.n_buckets
+    ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert indexed.equals(scan), (indexed, scan)
