@@ -95,6 +95,26 @@ def main() -> None:
         plan_of(entrymod.q_rel_broadcast_join(spark, SF)),
     ))
 
+    # 4b. autocomplete: dictionary expansion + shared scoring tail
+    sections.append((
+        "Query stage — autocomplete (prefix expansion)",
+        "The prefix expands against the broadcast term dictionary "
+        "(startswith + impact-ordered top-N window); the merged term set "
+        "flows through the same literal-pruned scan + broadcast-join "
+        "scoring tail as exact queries.",
+        plan_of(entrymod.q_fts_autocomplete(spark, SF)),
+    ))
+
+    # 4c. indexed phrase search over positional postings
+    sections.append((
+        "Query stage — indexed phrase search (positional postings)",
+        "Literal bucket/term_id pruning on the positional blocks, Arrow "
+        "decode of positions, ordinal-shift explode, and two uniform "
+        "(doc_id, adj)-keyed aggregations — no cartesian anywhere; the "
+        "scan touches only the phrase terms' buckets.",
+        plan_of(entrymod.q_fts_phrase_indexed(spark, SF)),
+    ))
+
     # 5. coords route: sector-pruned NN lookup
     sections.append((
         "Coords route — sector-pruned NN + fetch (georoute.py)",
