@@ -153,31 +153,34 @@ def _corpus_fp(sf_dir: str) -> str:
     return hashlib.md5("|".join(parts).encode()).hexdigest()
 
 
-def _index_for(spark: SparkSession, sf_dir: str):
+def _index_for(spark: SparkSession, sf_dir: str, positional: bool = False):
     from geocoderpl_spark.plans.build import build_index
 
-    if sf_dir not in _INDEX_CACHE:
+    key = (sf_dir, positional)
+    if key not in _INDEX_CACHE:
+        tag = "graft_posidx_" if positional else "graft_idx_"
         out = os.path.join(
-            tempfile.gettempdir(), "graft_idx_" + sf_dir.strip("/").replace("/", "_")
+            tempfile.gettempdir(), tag + sf_dir.strip("/").replace("/", "_")
         )
-        _INDEX_CACHE[sf_dir] = build_index(
+        _INDEX_CACHE[key] = build_index(
             spark, _docs(spark, sf_dir), out, n_buckets=16, id_col="doc_id",
             content_col="text", corpus_fp=_corpus_fp(sf_dir),
+            positional=positional,
         )
-    return _INDEX_CACHE[sf_dir]
+    return _INDEX_CACHE[key]
 
 
 def q_fts_bm25_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same query set answered through the *persisted compressed index*
     (SPIMI build -> varint blocks -> MaxScore kernel)."""
-    idx = _index_for(spark, sf_dir)
+    idx = _pos_index_for(spark, sf_dir)
     return idx.topk(_bm25_queries_df(spark), mode="pruned")
 
 
 def q_fts_bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full query lifecycle incl. the fetch phase (J9 analog): top-k hits
     joined back to docstats for metadata."""
-    idx = _index_for(spark, sf_dir)
+    idx = _pos_index_for(spark, sf_dir)
     hits = idx.topk(_bm25_queries_df(spark), mode="pruned")
     return idx.fetch(hits, cols=["lang", "source", "doclen"])
 
@@ -189,7 +192,7 @@ def q_fts_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms (bounded scan), scored disjunctively with the exact tokens."""
     from geocoderpl_spark.operators.topk import query_topk_autocomplete
 
-    idx = _index_for(spark, sf_dir)
+    idx = _pos_index_for(spark, sf_dir)
     q = spark.createDataFrame(
         AUTOCOMPLETE_QUERIES, "query_id long, query_text string, k int"
     )
@@ -219,21 +222,12 @@ def q_fts_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_match(_docs(spark, sf_dir), p, k=10)
 
 
-_POS_INDEX_CACHE: dict[str, object] = {}
-
-
 def _pos_index_for(spark: SparkSession, sf_dir: str):
-    from geocoderpl_spark.plans.build import build_index
-
-    if sf_dir not in _POS_INDEX_CACHE:
-        out = os.path.join(
-            tempfile.gettempdir(), "graft_posidx_" + sf_dir.strip("/").replace("/", "_")
-        )
-        _POS_INDEX_CACHE[sf_dir] = build_index(
-            spark, _docs(spark, sf_dir), out, n_buckets=16, id_col="doc_id",
-            content_col="text", corpus_fp=_corpus_fp(sf_dir), positional=True,
-        )
-    return _POS_INDEX_CACHE[sf_dir]
+    """ONE positional build serves every fts gate (VERDICT r02 #5): a
+    positional index answers BM25 identically (positions are an extra,
+    column-pruned-away stream), so the correctness run builds one index,
+    not two."""
+    return _index_for(spark, sf_dir, positional=True)
 
 
 def q_fts_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -291,10 +285,20 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_docs(spark, sf_dir))
 
 
+JACCARD_MAX_SHINGLE_DF = 50  # hot-shingle cap — mirrored in the oracle CTE
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped variant gated (VERDICT r02 #2): shingles shared by more than
+    JACCARD_MAX_SHINGLE_DF docs are dropped before pairing, bounding the
+    candidate-pair blowup a boilerplate shingle causes at scale. The oracle
+    applies the identical cap."""
     from geocoderpl_spark.operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.5)
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), n=3, threshold=0.5,
+        max_shingle_df=JACCARD_MAX_SHINGLE_DF,
+    )
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1200,7 +1204,19 @@ jac AS (
 
 _JACCARD_ORACLE = f"""
 WITH {_SHINGLES},
-{_JACCARD_CORE}
+hot AS (SELECT shingle FROM sh GROUP BY shingle
+        HAVING count(*) > {JACCARD_MAX_SHINGLE_DF}),
+shc AS (SELECT sh.doc_id, sh.shingle FROM sh ANTI JOIN hot USING (shingle)),
+sz AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM shc a JOIN shc b USING (shingle) WHERE a.doc_id < b.doc_id
+  GROUP BY doc_a, doc_b
+),
+jac AS (
+  SELECT doc_a, doc_b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+)
 SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5
 """
 

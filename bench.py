@@ -139,9 +139,10 @@ def main() -> None:
         ratio = vals[hi] / vals[lo]
         return round((1 / ratio if invert else ratio) / factor, 3)
 
+    top = SCALE_LEVELS[-1]  # 32 on this host; smaller elsewhere
     extra["scaling_efficiency_2_to_8"] = eff(2, 8, tput)
-    if 32 in tput:
-        extra["scaling_efficiency_8_to_32"] = eff(8, 32, tput)
+    if top > 8:
+        extra[f"scaling_efficiency_8_to_{top}"] = eff(8, top, tput)
     # host ceiling: the same efficiency for a register-only JVM job — what
     # this VM permits at all. normalized = build eff / host-control eff,
     # the in-sandbox rendition of multi-executor scaling (each real
@@ -149,11 +150,12 @@ def main() -> None:
     if all(ctrl[c] for c in SCALE_LEVELS):
         cbest = {c: min(ctrl[c]) for c in SCALE_LEVELS}
         extra["host_ceiling_eff_2_to_8"] = eff(2, 8, cbest, invert=True)
-        extra["host_ceiling_eff_8_to_32"] = eff(8, 32, cbest, invert=True)
         extra["normalized_eff_2_to_8"] = round(
             extra["scaling_efficiency_2_to_8"] / extra["host_ceiling_eff_2_to_8"], 3)
-        extra["normalized_eff_8_to_32"] = round(
-            extra["scaling_efficiency_8_to_32"] / extra["host_ceiling_eff_8_to_32"], 3)
+        if top > 8:
+            extra[f"host_ceiling_eff_8_to_{top}"] = eff(8, top, cbest, invert=True)
+            extra[f"normalized_eff_8_to_{top}"] = round(
+                extra[f"scaling_efficiency_8_to_{top}"] / extra[f"host_ceiling_eff_8_to_{top}"], 3)
 
     # ---- query latency over the sf documents index -------------------------
     from pyspark.sql import SparkSession

@@ -101,7 +101,10 @@ def _score_gated(
     tids = [r["term_id"] for r in gated.select("term_id").distinct().collect()]
     if not tids:
         return postings.sparkSession.createDataFrame([], TOPK_SCHEMA)
-    cand = _pruned_scan(postings, tids, n_buckets)
+    # drop("poss") is a no-op on non-positional indexes; on positional ones
+    # it column-prunes the positions stream out of the Parquet scan — BM25
+    # never pays for the phrase capability
+    cand = _pruned_scan(postings, tids, n_buckets).drop("poss")
     rows = decode_postings(cand)
     from ..functions.bm25 import tfnorm_col
 
@@ -406,9 +409,9 @@ def query_topk_pruned(
             gated = spark.createDataFrame(
                 rows, "query_id long, k int, term_id long, qtf long, idf double"
             )
-            cand = _pruned_scan(postings, [r[2] for r in rows], n_buckets).join(
-                F.broadcast(gated), "term_id"
-            )
+            cand = _pruned_scan(postings, [r[2] for r in rows], n_buckets).drop(
+                "poss"
+            ).join(F.broadcast(gated), "term_id")
         else:
             cand = None
     else:
@@ -418,7 +421,7 @@ def query_topk_pruned(
         hot_qids = {r["query_id"] for r in meta if r["df"] > hot_df}
         tids = [r["term_id"] for r in meta if r["query_id"] not in hot_qids]
         if tids:
-            cand = _pruned_scan(postings, tids, n_buckets).join(
+            cand = _pruned_scan(postings, tids, n_buckets).drop("poss").join(
                 F.broadcast(gated.filter(~F.col("query_id").isin(list(hot_qids)))
                             if hot_qids else gated),
                 "term_id",

@@ -58,10 +58,22 @@ class SegmentedIndex:
 
         pinned = resolve_segments(self.root, self.snapshot_id)
         if pinned is not None:
+            missing = [
+                d for d in pinned
+                if not os.path.exists(os.path.join(self.root, d, "meta", "meta.json"))
+            ]
+            if missing:
+                # Iceberg-style "snapshot expired": a pinned snapshot whose
+                # segments were garbage-collected by a later compaction must
+                # fail loudly, never silently serve a subset (ADVICE r02).
+                raise FileNotFoundError(
+                    f"snapshot {self.snapshot_id} references segment(s) "
+                    f"{missing} that no longer exist under {self.root} "
+                    "(expired by compaction GC)"
+                )
             return [
                 InvertedIndex.load(self.spark, os.path.join(self.root, d))
                 for d in pinned
-                if os.path.exists(os.path.join(self.root, d, "meta", "meta.json"))
             ]
         complete = [
             d for d in sorted(os.listdir(self.root))
@@ -219,6 +231,7 @@ def compact_segments(
     import json
     import shutil
 
+    gc_orphan_segments(index_root)
     seg = SegmentedIndex(spark, index_root)
     live = seg.segments()
     if len(live) <= max_segments or len(live) < 2:
@@ -246,6 +259,36 @@ def compact_segments(
     for n in names:  # GC of subsumed segments (safe: already ignored)
         shutil.rmtree(os.path.join(index_root, n), ignore_errors=True)
     return True
+
+
+def gc_orphan_segments(index_root: str) -> list[str]:
+    """Heal GC leaks from a compaction that crashed after its snapshot
+    commit but before deleting its inputs (ADVICE r02): remove any seg_*
+    dir that is BOTH subsumed by an existing merged segment's
+    ``merged_from.json`` AND absent from the latest snapshot. Returns the
+    removed dir names. No snapshot log -> no-op (can't prove orphan-ness).
+    """
+    import json
+    import shutil
+
+    from ..plans.snapshots import resolve_segments
+
+    latest = resolve_segments(index_root)
+    if latest is None:
+        return []
+    present = [
+        d for d in sorted(os.listdir(index_root)) if d.startswith("seg_")
+    ]
+    consumed: set[str] = set()
+    for d in present:
+        mf = os.path.join(index_root, d, "merged_from.json")
+        if os.path.exists(mf):
+            with open(mf) as f:
+                consumed.update(json.load(f))
+    orphans = [d for d in present if d in consumed and d not in set(latest)]
+    for d in orphans:
+        shutil.rmtree(os.path.join(index_root, d), ignore_errors=True)
+    return orphans
 
 
 def merge_segments(spark: SparkSession, index_root: str, out_dir: str, n_buckets: int = 16) -> InvertedIndex:

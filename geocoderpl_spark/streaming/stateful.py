@@ -33,10 +33,12 @@ def _sessionize_group(key, pdfs, state: GroupState):
 
     (user_id,) = key
     last_ts, n_sessions, n_events = state.get if state.exists else (None, 0, 0)
-    for pdf in pdfs:
-        if len(pdf) == 0:
-            continue
-        pdf = pdf.sort_values(["ts", "event_id"])
+    # applyInPandasWithState may deliver one group as several Arrow chunks
+    # with no cross-chunk ordering guarantee — concatenate first, sort once,
+    # then run the gap logic over the whole batch.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
         # floored epoch seconds regardless of the incoming datetime64 unit —
         # identical to the batch op's cast("long") (relational.py:172)
         ts = pdf["ts"].to_numpy().astype("datetime64[s]").astype(np.int64)

@@ -234,3 +234,37 @@ def test_phrase_match_requires_adjacency(spark, docs):
     assert 1 not in got                    # order matters
     assert got[2] == {0: 1, 3: 1}          # 'lazy cat' doc excluded
     assert 3 not in got                    # no overlapping self-adjacency here
+
+
+def test_ngram_jaccard_hot_shingle_cap_bounds_candidates(spark):
+    """One boilerplate shingle shared by k docs costs O(k^2) candidate pairs
+    uncapped; max_shingle_df must drop it BEFORE pairing while still finding
+    near-dups that share rare shingles (VERDICT r02 #2)."""
+    from geocoderpl_spark.operators.dedup import ngram_jaccard_pairs, shingles
+
+    hot = "common boiler plate header"  # contributes 2 hot 3-gram shingles
+    rows = [(i, f"{hot} unique{i}a unique{i}b unique{i}c") for i in range(30)]
+    # one genuine near-dup pair sharing many RARE shingles
+    body = "alpha beta gamma delta epsilon zeta eta theta"
+    rows += [(100, f"{body} one"), (101, f"{body} two")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def n_candidates(sh_df):
+        a = sh_df.select(F.col("doc_id").alias("doc_a"), "shingle")
+        b = sh_df.select(F.col("doc_id").alias("doc_b"), "shingle")
+        return (
+            a.join(b, "shingle").filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b").distinct().count()
+        )
+
+    sh = shingles(docs, 3, "text", "doc_id")
+    uncapped = n_candidates(sh)
+    assert uncapped >= 30 * 29 // 2  # the hot-shingle quadratic blowup
+    cap = 10
+    hot_set = sh.groupBy("shingle").count().filter(F.col("count") > cap)
+    capped = n_candidates(sh.join(hot_set.select("shingle"), "shingle", "left_anti"))
+    assert capped <= 5  # only rare-shingle pairs survive
+    pairs = ngram_jaccard_pairs(
+        docs, n=3, threshold=0.5, max_shingle_df=cap
+    ).collect()
+    assert {(r.doc_a, r.doc_b) for r in pairs} == {(100, 101)}

@@ -330,3 +330,119 @@ def test_stateful_sessionize_state_carries_across_batches(spark, tmp_path):
     }
     assert final[1] == (2, 3)   # boundary-straddling session not double-counted
     assert final[2] == (1, 2)
+
+
+def _two_segments(spark, root, n_docs=120):
+    from pyspark.sql import functions as F
+
+    from geocoderpl_spark.operators.docids import assign_doc_ids
+    from geocoderpl_spark.plans.snapshots import commit_snapshot
+
+    corpus = synth_corpus(spark, n_docs)
+    base = 0
+    names = []
+    for i in range(2):
+        part = assign_doc_ids(
+            corpus.filter(F.pmod(F.xxhash64("path"), F.lit(2)) == i),
+            ["repo", "path", "commit"],
+        ).withColumn("doc_id", F.col("doc_id") + F.lit(base))
+        name = f"seg_{i:05d}"
+        build_index(spark, part, os.path.join(root, name), n_buckets=4, id_col="doc_id")
+        base += part.count()
+        names.append(name)
+        commit_snapshot(root, names[: i + 1], op=f"append:{name}")
+    return names
+
+
+def test_expired_snapshot_raises_not_partial(spark, tmp_path):
+    """Pinning a snapshot whose segments were GC'd by compaction must fail
+    loudly (Iceberg 'snapshot expired'), never silently serve a subset."""
+    from geocoderpl_spark.streaming.incremental import compact_segments
+
+    root = str(tmp_path / "idx")
+    os.makedirs(root)
+    _two_segments(spark, root)
+    assert compact_segments(spark, root, max_segments=1, n_buckets=4)
+    # latest view fine
+    assert SegmentedIndex(spark, root).global_stats()[0] == 120
+    # pre-compaction snapshot now references GC'd dirs -> raise
+    with pytest.raises(FileNotFoundError, match="expired"):
+        SegmentedIndex(spark, root, snapshot_id=2).segments()
+
+
+def test_gc_orphan_segments_heals_crashed_compaction(spark, tmp_path):
+    """Crash after the compaction snapshot commit but before input GC leaks
+    the consumed dirs; gc_orphan_segments (run by the next compact_segments
+    call) must remove exactly them and change no query result."""
+    import json
+
+    from geocoderpl_spark.plans.snapshots import commit_snapshot
+    from geocoderpl_spark.streaming.incremental import (
+        compact_segments,
+        gc_orphan_segments,
+    )
+
+    root = str(tmp_path / "idx")
+    os.makedirs(root)
+    names = _two_segments(spark, root)
+    merged = os.path.join(root, "seg_00000-00001m")
+    merge_segments(spark, root, merged, n_buckets=4)
+    with open(os.path.join(merged, "merged_from.json"), "w") as f:
+        json.dump(names, f)
+    commit_snapshot(root, [os.path.basename(merged)], op="compact")
+    # crash here: inputs never deleted
+    assert all(os.path.exists(os.path.join(root, n)) for n in names)
+    q = spark.createDataFrame(
+        [(0, "term_0001", 5)], "query_id long, query_text string, k int"
+    )
+    before = [tuple(r) for r in SegmentedIndex(spark, root).topk(q).collect()]
+    removed = gc_orphan_segments(root)
+    assert sorted(removed) == names
+    assert not any(os.path.exists(os.path.join(root, n)) for n in names)
+    after = [tuple(r) for r in SegmentedIndex(spark, root).topk(q).collect()]
+    assert before == after
+    # idempotent + no-op through the compaction entry point
+    assert gc_orphan_segments(root) == []
+    assert compact_segments(spark, root, max_segments=4, n_buckets=4) is False
+
+
+def test_sessionize_kernel_sorts_across_chunks():
+    """applyInPandasWithState may deliver one group as several unordered
+    Arrow chunks; the kernel must concatenate-then-sort, not sort per chunk
+    (ADVICE r02). Feed chunks whose concatenation is out of order and assert
+    the gap logic sees the globally sorted stream."""
+    import pandas as pd
+
+    from geocoderpl_spark.streaming.stateful import SESSION_GAP_S, _sessionize_group
+
+    class FakeState:
+        exists = False
+
+        def __init__(self):
+            self.stored = None
+
+        @property
+        def get(self):
+            return self.stored
+
+        def update(self, v):
+            self.stored = v
+
+    t0 = 1_700_000_000
+    # chunk2 holds the EARLIEST event; sorted stream has one gap > threshold
+    c1 = pd.DataFrame({
+        "user_id": [1, 1],
+        "event_id": [2, 3],
+        "ts": pd.to_datetime([t0 + 10, t0 + SESSION_GAP_S + 100], unit="s"),
+    })
+    c2 = pd.DataFrame({
+        "user_id": [1],
+        "event_id": [1],
+        "ts": pd.to_datetime([t0], unit="s"),
+    })
+    st = FakeState()
+    (out,) = list(_sessionize_group((1,), iter([c1, c2]), st))
+    # globally sorted: t0, t0+10 (same session), t0+gap+100 (new session)
+    assert out["n_sessions"].iloc[0] == 2
+    assert out["n_events"].iloc[0] == 3
+    assert st.stored == (t0 + SESSION_GAP_S + 100, 2, 3)
