@@ -54,8 +54,14 @@ def gate_terms(qterms: DataFrame, terms: DataFrame, n_docs: int) -> DataFrame:
 
     Inner join vs broadcast term dictionary; attaches term_id, df, idf.
     """
-    dic = F.broadcast(terms.select("term", "term_id", "df"))
-    return qterms.join(dic, "term").withColumn("idf", idf_col(F.col("df"), n_docs))
+    # broadcast the QUERY side (a handful of terms), never the dictionary —
+    # at 1e9 dictionary terms a dictionary broadcast is a multi-GB ship to
+    # every executor; this way the gate is one shuffle-free pass over terms
+    return (
+        F.broadcast(qterms)
+        .join(terms.select("term", "term_id", "df"), "term")
+        .withColumn("idf", idf_col(F.col("df"), n_docs))
+    )
 
 
 def _topk_window(scored: DataFrame) -> DataFrame:
@@ -181,19 +187,52 @@ def query_topk_autocomplete(
         .filter(F.col("qtf") > 0)
         .select("query_id", "k", "term", "qtf")
     )
-    # prefix expansions: top-df dictionary terms with that prefix, qtf=1
-    pref = q.filter(F.col("prefix").isNotNull()).select("query_id", "k", "prefix")
-    exp = (
-        terms.join(F.broadcast(pref), F.col("term").startswith(F.col("prefix")))
-        .withColumn(
-            "xrank",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(F.desc("df"), F.asc("term"))
-            ),
+    # prefix expansions: top-df dictionary terms with that prefix, qtf=1.
+    # The query batch is metadata-sized, so collect the prefixes and push
+    # the expansion into the dictionary scan as a literal RANGE predicate
+    # (term >= p AND term < p || '{'): terms are written term-sorted, so
+    # Parquet row-group min/max stats skip everything outside the prefix
+    # ranges — the dictionary is never fully scanned, and no
+    # BroadcastNestedLoopJoin appears in the plan. '{' = chr(ord('z')+1)
+    # upper-bounds every token char ([a-z0-9_]).
+    spark = queries.sparkSession
+    prows = q.filter(F.col("prefix").isNotNull()).select(
+        "query_id", "k", "prefix"
+    ).collect()
+    if prows:
+        rng = None
+        for p in sorted({r["prefix"] for r in prows}):
+            c = (F.col("term") >= F.lit(p)) & (F.col("term") < F.lit(p + "{"))
+            rng = c if rng is None else rng | c
+        cand = terms.filter(rng).select("term", "df")
+        # attach query ids with per-prefix-length EQUI-joins on
+        # substring(term, 1, len) — BroadcastHashJoin on the tiny query side
+        by_len: dict[int, list[tuple]] = {}
+        for r in prows:
+            by_len.setdefault(len(r["prefix"]), []).append(
+                (r["query_id"], int(r["k"]), r["prefix"])
+            )
+        matched = None
+        for ln, batch in sorted(by_len.items()):
+            pl = spark.createDataFrame(batch, "query_id long, k int, prefix string")
+            m = (
+                cand.withColumn("_p", F.substring("term", 1, ln))
+                .join(F.broadcast(pl), F.col("_p") == F.col("prefix"))
+                .select("query_id", "k", "term", "df")
+            )
+            matched = m if matched is None else matched.unionByName(m)
+        exp = (
+            matched.withColumn(
+                "xrank",
+                F.row_number().over(
+                    Window.partitionBy("query_id").orderBy(F.desc("df"), F.asc("term"))
+                ),
+            )
+            .filter(F.col("xrank") <= max_expansions)
+            .select("query_id", "k", "term", F.lit(1).cast("long").alias("qtf"))
         )
-        .filter(F.col("xrank") <= max_expansions)
-        .select("query_id", "k", "term", F.lit(1).cast("long").alias("qtf"))
-    )
+    else:
+        exp = spark.createDataFrame([], "query_id long, k int, term string, qtf long")
     merged = (
         exact.unionByName(exp)
         .groupBy("query_id", "k", "term")

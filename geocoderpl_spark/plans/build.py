@@ -362,7 +362,11 @@ def build_index(
     if not _done(p["terms"]):
         def s3():
             t = build_terms(tf)
-            t.write.mode("overwrite").parquet(p["terms"])
+            # term-sorted layout (the range partitioning is already by term,
+            # so this yields globally sorted files): every parquet file gets
+            # a tight term min/max, making prefix-range predicates
+            # (autocomplete) row-group-skippable instead of full-dict scans
+            t.sortWithinPartitions("term").write.mode("overwrite").parquet(p["terms"])
             _unpersist(t)
             return -1
 

@@ -98,10 +98,13 @@ def main() -> None:
     # 4b. autocomplete: dictionary expansion + shared scoring tail
     sections.append((
         "Query stage — autocomplete (prefix expansion)",
-        "The prefix expands against the broadcast term dictionary "
-        "(startswith + impact-ordered top-N window); the merged term set "
-        "flows through the same literal-pruned scan + broadcast-join "
-        "scoring tail as exact queries.",
+        "The prefix expansion is a PUSHED RANGE predicate on the "
+        "term-sorted dictionary (`term >= p AND term < p||'{'` in "
+        "PushedFilters — Parquet row-group min/max skipping, no "
+        "BroadcastNestedLoopJoin, no full-dictionary scan), query ids "
+        "attach via per-prefix-length broadcast equi-joins, and the merged "
+        "term set flows through the same literal-pruned scan + "
+        "broadcast-join scoring tail as exact queries.",
         plan_of(entrymod.q_fts_autocomplete(spark, SF)),
     ))
 
