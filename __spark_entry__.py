@@ -494,8 +494,14 @@ def q_stream_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     src = f"{sf_dir}/events.parquet"
     files = sorted(_glob.glob(os.path.join(src, "*.parquet"))) if os.path.isdir(src) else [src]
+    # FileStreamSource (latestFirst=false) orders drops by mtime; stamp the
+    # mtimes explicitly so batch order is deterministic — no wall-clock
+    # sleeps (fragile on fast filesystems)
+    t0 = os.stat(files[0]).st_mtime
     for i, f in enumerate(files):
-        _shutil.copy(f, os.path.join(sdir, f"drop0_{i:04d}.parquet"))
+        dst = os.path.join(sdir, f"drop0_{i:04d}.parquet")
+        _shutil.copy(f, dst)
+        os.utime(dst, (t0, t0))
     max_ts = events.agg(F.max("ts")).collect()[0][0]
     sentinel = spark.createDataFrame(
         [(-1, -1, "zz_sentinel", max_ts, 0.0, "{}")],
@@ -503,10 +509,9 @@ def q_stream_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 2 HOURS"))
     sentinel.coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, "sent"))
     sf = _glob.glob(os.path.join(tmp, "sent", "*.parquet"))[0]
-    import time as _time
-
-    _time.sleep(1.1)  # sentinel must sort after the event files by mtime
-    _shutil.copy(sf, os.path.join(sdir, "drop1_sentinel.parquet"))
+    dst = os.path.join(sdir, "drop1_sentinel.parquet")
+    _shutil.copy(sf, dst)
+    os.utime(dst, (t0 + 100, t0 + 100))  # sentinel sorts strictly after batch 1
     q = start_windowed_rollup(
         spark, sdir, odir, watermark="1 minute", window="1 hour",
         max_files_per_trigger=len(files),
@@ -526,7 +531,6 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     user must equal the batch sessionize — same SQL oracle."""
     import glob as _glob
     import tempfile as _tempfile
-    import time as _time
 
     from geocoderpl_spark.streaming.stateful import stateful_sessionize
 
@@ -539,8 +543,11 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                               events.filter(F.col("ts") >= F.lit(cut)))):
         part.coalesce(1).write.mode("overwrite").parquet(os.path.join(tmp, f"s{i}"))
         src = _glob.glob(os.path.join(tmp, f"s{i}", "*.parquet"))[0]
-        _time.sleep(1.1)  # mtime order = batch order
-        os.replace(src, os.path.join(sdir, f"drop_{i}.parquet"))
+        dst = os.path.join(sdir, f"drop_{i}.parquet")
+        os.replace(src, dst)
+        # deterministic micro-batch order via explicit mtimes (FileStream
+        # source sorts by timestamp, latestFirst=false) — no sleeps
+        os.utime(dst, (1_000_000_000 + i * 100,) * 2)
     stream = (
         spark.readStream.schema(events.schema)
         .option("maxFilesPerTrigger", 1)
@@ -563,6 +570,55 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.table(name).withColumn("rn", w).filter(F.col("rn") == 1)
         .select("user_id", "n_sessions", "n_events")
     )
+
+
+_SEG_INDEX_CACHE: dict[str, str] = {}
+
+
+def _seg_index_for(spark: SparkSession, sf_dir: str):
+    """Three-segment LSM index over the documents table (original doc_ids
+    preserved; segments split by doc_id mod 3, disjoint) with a snapshot
+    log — the uncompacted-tail shape the segmented serving path must handle."""
+    from geocoderpl_spark.streaming.incremental import SegmentedIndex
+
+    if sf_dir not in _SEG_INDEX_CACHE:
+        root = os.path.join(
+            tempfile.gettempdir(), "graft_segidx_" + sf_dir.strip("/").replace("/", "_")
+        )
+        fp_file = os.path.join(root, "_corpus_fp")
+        fp = _corpus_fp(sf_dir)
+        if not (os.path.exists(fp_file) and open(fp_file).read() == fp):
+            import shutil
+
+            from geocoderpl_spark.plans.build import build_index
+            from geocoderpl_spark.plans.snapshots import commit_snapshot
+
+            shutil.rmtree(root, ignore_errors=True)
+            os.makedirs(root)
+            docs = _docs(spark, sf_dir)
+            names: list[str] = []
+            for i in range(3):
+                part = docs.filter(F.pmod("doc_id", F.lit(3)) == i)
+                name = f"seg_{i:05d}"
+                build_index(
+                    spark, part, os.path.join(root, name), n_buckets=16,
+                    id_col="doc_id", content_col="text",
+                )
+                names.append(name)
+                commit_snapshot(root, list(names), op=f"append:{name}")
+            with open(fp_file, "w") as f:
+                f.write(fp)
+        _SEG_INDEX_CACHE[sf_dir] = root
+    return SegmentedIndex(spark, _SEG_INDEX_CACHE[sf_dir])
+
+
+def q_stream_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-grade query over a multi-segment (LSM) index: per-segment
+    literal-pruned block scans + one MaxScore kernel pass with remapped term
+    ids and avgdl-rescaled bounds — rank-identical to a from-scratch single
+    index, certified by the same BM25 SQL oracle (VERDICT r02 #3)."""
+    seg = _seg_index_for(spark, sf_dir)
+    return seg.topk_pruned(_bm25_queries_df(spark))
 
 
 def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -667,6 +723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "stream_windowed_rollup": q_stream_windowed_rollup,
         "stream_sessionize": q_stream_sessionize,
+        "stream_topk_pruned": q_stream_topk_pruned,
         "mm_frame_sample": q_mm_frame_sample,
         "mm_decode_features": q_mm_decode_features,
         "mm_decode_real": q_mm_decode_real,
@@ -681,6 +738,9 @@ def oracle_sql() -> dict[str, str]:
     qk = ", ".join(str(int(x)) for x in ANN_PROBES)
     d = {
         "fts_bm25_topk": _BM25_CORE + _BM25_FINAL,
+        # the segmented (LSM) pruned path is rank-identical to a from-scratch
+        # single-index build by construction -> same oracle
+        "stream_topk_pruned": _BM25_CORE + _BM25_FINAL,
         "fts_bm25_topk_indexed": _BM25_CORE + _BM25_FINAL,
         "fts_bm25_topk_docs": _BM25_CORE + _BM25_DOCS_FINAL,
         "fts_autocomplete": _autocomplete_oracle(),

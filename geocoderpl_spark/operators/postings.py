@@ -66,7 +66,9 @@ def term_frequencies(tok_docs: DataFrame) -> DataFrame:
     return pairs.groupBy("term", "doc_id", "doclen").agg(F.count(F.lit(1)).alias("tf"))
 
 
-def term_frequencies_pandas(docs: DataFrame, content_col: str = "content") -> DataFrame:
+def term_frequencies_pandas(
+    docs: DataFrame, content_col: str = "content", with_sha: bool = False
+) -> DataFrame:
     """Hot-path tf: (term, doc_id, doclen, tf) via an Arrow-batched pandas
     kernel — tokenize + per-doc counting happen locally in the kernel, so tf
     needs NO shuffle at all (it is a per-doc map), and the Python regex path
@@ -74,9 +76,16 @@ def term_frequencies_pandas(docs: DataFrame, content_col: str = "content") -> Da
     (measured: 28s JVM vs ~2s kernel for 100k docs / 23M tokens @32c).
 
     This is the north_star's "SPIMI-style per-partition construction inside
-    vectorized pandas/Arrow UDFs (tokenize -> term-docID pairs)"."""
+    vectorized pandas/Arrow UDFs (tokenize -> term-docID pairs)".
+
+    ``with_sha=True`` fuses the docstats pass into the same tokenize
+    (sha256 on the first row of each doc, NULL elsewhere; zero-token docs
+    emit one sentinel row with term NULL) — see :func:`term_frequencies_arrow`.
+    """
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
         import numpy as np
 
         from ..functions.tokenize import tokenize_py
@@ -84,34 +93,110 @@ def term_frequencies_pandas(docs: DataFrame, content_col: str = "content") -> Da
         from collections import Counter
 
         for pdf in batches:
-            ids, dls, terms, tfs = [], [], [], []
+            ids, dls, terms, tfs, shas = [], [], [], [], []
             for doc_id, content in zip(pdf["doc_id"].to_numpy(), pdf[content_col]):
                 toks = tokenize_py(content)
                 c = Counter(toks)
+                if with_sha:
+                    h = hashlib.sha256((content or "").encode("utf-8")).hexdigest()
+                    if not c:  # zero-token doc -> sentinel row carries stats
+                        ids.append(np.full(1, doc_id, dtype=np.int64))
+                        dls.append(np.zeros(1, dtype=np.int64))
+                        terms.append(None)
+                        tfs.append(np.zeros(1, dtype=np.int64))
+                        shas.append(h)
+                        continue
+                    shas.extend([h] + [None] * (len(c) - 1))
+                elif not c:
+                    continue
                 ids.append(np.full(len(c), doc_id, dtype=np.int64))
                 dls.append(np.full(len(c), len(toks), dtype=np.int64))
                 terms.extend(c.keys())
                 tfs.append(np.fromiter(c.values(), dtype=np.int64, count=len(c)))
             if not ids:
                 continue
-            yield pd.DataFrame(
-                {
-                    "term": terms,
-                    "doc_id": np.concatenate(ids),
-                    "doclen": np.concatenate(dls),
-                    "tf": np.concatenate(tfs),
-                }
-            )
+            out = {
+                "term": terms,
+                "doc_id": np.concatenate(ids),
+                "doclen": np.concatenate(dls),
+                "tf": np.concatenate(tfs),
+            }
+            if with_sha:
+                out["sha256"] = shas
+            yield pd.DataFrame(out)
 
-    return docs.select("doc_id", content_col).mapInPandas(
-        fn, schema="term string, doc_id long, doclen long, tf long"
+    schema = "term string, doc_id long, doclen long, tf long" + (
+        ", sha256 string" if with_sha else ""
     )
+    return docs.select("doc_id", content_col).mapInPandas(fn, schema=schema)
 
 
-def term_frequencies_arrow(docs: DataFrame, content_col: str = "content") -> DataFrame:
+def _sha256_hex(content, n: int) -> list[str]:
+    """Zero-copy sha256 of each string in an Arrow array: hash utf8 bytes
+    straight out of the value buffer (hashlib accepts memoryviews — the
+    content is never decoded into a Python str)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    carr = content.combine_chunks() if isinstance(content, pa.ChunkedArray) else content
+    bufs = carr.buffers()
+    odt = np.int64 if pa.types.is_large_string(carr.type) else np.int32
+    offs = np.frombuffer(bufs[1], dtype=odt, count=carr.offset + n + 1)
+    data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+    return [
+        hashlib.sha256(data[offs[carr.offset + i] : offs[carr.offset + i + 1]]).hexdigest()
+        for i in range(n)
+    ]
+
+
+def _attach_sha(out, content, doc_ids, doclen, np, pa):
+    """Fuse per-doc stats onto a (term, doc_id, ...) tf table: sha256 lands
+    on the FIRST output row of each doc (NULL elsewhere), and zero-token
+    docs — absent from the tf aggregation — get one sentinel row with term
+    NULL so every doc's (doclen, sha256) survives into the checkpoint."""
+    n = len(doc_ids)
+    sha = _sha256_hex(content, n)
+    out_docs = out["doc_id"].to_numpy()
+    order = np.argsort(doc_ids, kind="stable")
+    _, first_idx = np.unique(out_docs, return_index=True)
+    sha_vals = np.full(len(out_docs), None, dtype=object)
+    batch_idx = order[np.searchsorted(doc_ids, out_docs[first_idx], sorter=order)]
+    sha_vals[first_idx] = [sha[j] for j in batch_idx]
+    out = out.append_column("sha256", pa.array(sha_vals, pa.string()))
+    zidx = np.nonzero(doclen == 0)[0]
+    if zidx.size:
+        zeros = pa.array(np.zeros(zidx.size, np.int64), pa.int64())
+        cols = {
+            "term": pa.nulls(zidx.size, out.schema.field("term").type),
+            "doc_id": pa.array(doc_ids[zidx].astype(np.int64), pa.int64()),
+            "doclen": zeros,
+            "tf": zeros,
+            "sha256": pa.array([sha[j] for j in zidx], pa.string()),
+        }
+        sent = pa.table(
+            {f.name: cols.get(f.name, pa.nulls(zidx.size, f.type)) for f in out.schema},
+            schema=out.schema,
+        )
+        out = pa.concat_tables([out, sent])
+    return out
+
+
+def term_frequencies_arrow(
+    docs: DataFrame, content_col: str = "content", with_sha: bool = False
+) -> DataFrame:
     """tf kernel v2: ``mapInArrow`` + pure Arrow C++ compute — tokenize (RE2
     regex + split), flatten, and hash-aggregate per (term, doc) WITHOUT ever
     materializing a Python string object.
+
+    ``with_sha=True`` fuses the docstats pass into this same single scan
+    (VERDICT r02 #7): the corpus is tokenized ONCE instead of once for
+    docstats + once for tf. Per-doc stats ride as a sparse extra column —
+    sha256 is non-NULL on exactly one tf row per doc, and zero-token docs
+    emit one term-NULL sentinel row — so the build derives docstats from
+    the tf checkpoint with a column-pruned filter instead of a second
+    content pass (consumers of the tf rows filter ``term IS NOT NULL``).
 
     Why: the v1 pandas kernel (:func:`term_frequencies_pandas`) builds one
     Python ``str`` per token — ~55 bytes of object header + hash per ~7-byte
@@ -166,21 +251,27 @@ def term_frequencies_arrow(docs: DataFrame, content_col: str = "content") -> Dat
                     "tf": agg["count_all"].cast(pa.int64()),
                 }
             )
+            if with_sha:
+                out = _attach_sha(out, content, doc_ids, doclen, np, pa)
             yield from out.to_batches()
 
-    return docs.select("doc_id", content_col).mapInArrow(
-        fn, schema="term string, doc_id long, doclen long, tf long"
+    schema = "term string, doc_id long, doclen long, tf long" + (
+        ", sha256 string" if with_sha else ""
     )
+    return docs.select("doc_id", content_col).mapInArrow(fn, schema=schema)
 
 
-def term_positions_arrow(docs: DataFrame, content_col: str = "content") -> DataFrame:
+def term_positions_arrow(
+    docs: DataFrame, content_col: str = "content", with_sha: bool = False
+) -> DataFrame:
     """Positional tf kernel: like :func:`term_frequencies_arrow` plus the
     1-based token positions of each (term, doc) occurrence — the input for
     positional (phrase-capable) indexes. Positions index the *filtered*
     token array, identical to what ``tokenize()`` exposes, so the indexed
     phrase counts equal the corpus-scan ``textstats.phrase_match`` exactly.
     All in Arrow buffers; the only additions over the tf kernel are an
-    arange-per-doc (vectorized first-index trick) and a list aggregation."""
+    arange-per-doc (vectorized first-index trick) and a list aggregation.
+    ``with_sha`` fuses the docstats pass, as in the tf kernel."""
 
     def fn(batches):
         import numpy as np
@@ -228,12 +319,14 @@ def term_positions_arrow(docs: DataFrame, content_col: str = "content") -> DataF
                     "positions": agg["pos_list"],
                 }
             )
+            if with_sha:
+                out = _attach_sha(out, content, doc_ids, doclen, np, pa)
             yield from out.to_batches()
 
-    return docs.select("doc_id", content_col).mapInArrow(
-        fn,
-        schema="term string, doc_id long, doclen long, tf long, positions array<int>",
+    schema = "term string, doc_id long, doclen long, tf long, positions array<int>" + (
+        ", sha256 string" if with_sha else ""
     )
+    return docs.select("doc_id", content_col).mapInArrow(fn, schema=schema)
 
 
 def docstats_arrow(
@@ -323,7 +416,8 @@ def build_terms(tf: DataFrame) -> DataFrame:
     """
     from .docids import assign_dense_ids
 
-    stats = tf.groupBy("term").agg(
+    # term-NULL rows are fused-docstats sentinels (zero-token docs), not terms
+    stats = tf.filter(F.col("term").isNotNull()).groupBy("term").agg(
         F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
     )
     # term_id = dense rank of the term string, assigned with the same
@@ -521,7 +615,12 @@ def build_postings(
         *pos_cols,
     )
     schema = POSTINGS_POS_SCHEMA if positional else POSTINGS_SCHEMA
-    return narrow.mapInPandas(_encode_partition(avgdl), schema=schema)
+    blocks = narrow.mapInPandas(_encode_partition(avgdl), schema=schema)
+    # local (shuffle-free) re-sort of the encoded blocks: term_id-contiguous
+    # row groups give tight Parquet min/max stats, so `term_id IN (...)`
+    # skips row groups inside each file (the encode order was (slice,
+    # term_id), whose per-row-group ranges overlap across slices)
+    return blocks.sortWithinPartitions("bucket", "term_id", "first_doc")
 
 
 def decode_postings_positional(blocks: DataFrame) -> DataFrame:

@@ -99,9 +99,14 @@ def _score_gated(
     gated: DataFrame,
     avgdl: float,
     n_buckets: int | None,
+    scan=None,
 ) -> DataFrame:
     """Shared scoring tail: gated (query_id, k, term_id, qtf, idf) ->
-    pruned posting scan -> decode -> BM25 sum -> top-k window."""
+    pruned posting scan -> decode -> BM25 sum -> top-k window.
+
+    ``scan``: optional term_ids -> DataFrame override (e.g. the file-level
+    manifest scan, plans/manifest.py) replacing the directory-listing scan.
+    """
     # the gated term set is tiny (distinct query terms); collecting it turns
     # the posting prune into literal pushed filters
     tids = [r["term_id"] for r in gated.select("term_id").distinct().collect()]
@@ -110,7 +115,7 @@ def _score_gated(
     # drop("poss") is a no-op on non-positional indexes; on positional ones
     # it column-prunes the positions stream out of the Parquet scan — BM25
     # never pays for the phrase capability
-    cand = _pruned_scan(postings, tids, n_buckets).drop("poss")
+    cand = (scan(tids) if scan else _pruned_scan(postings, tids, n_buckets)).drop("poss")
     rows = decode_postings(cand)
     from ..functions.bm25 import tfnorm_col
 
@@ -133,10 +138,11 @@ def query_topk_exact(
     n_docs: int,
     avgdl: float,
     n_buckets: int | None = None,
+    scan=None,
 ) -> DataFrame:
     """Distributed exact BM25 top-k. queries: (query_id, query_text, k)."""
     gated = gate_terms(tokenize_queries(queries), terms, n_docs)
-    return _score_gated(postings, gated, avgdl, n_buckets)
+    return _score_gated(postings, gated, avgdl, n_buckets, scan=scan)
 
 
 def query_topk_autocomplete(
@@ -405,6 +411,7 @@ def query_topk_pruned(
     term_lookup: dict | None = None,
     n_buckets: int | None = None,
     max_blocks_per_term: int = MAX_BLOCKS_PER_TERM,
+    scan=None,
 ) -> DataFrame:
     """Serving path: per-query block-max MaxScore kernel, hot-term-capped.
 
@@ -448,7 +455,8 @@ def query_topk_pruned(
             gated = spark.createDataFrame(
                 rows, "query_id long, k int, term_id long, qtf long, idf double"
             )
-            cand = _pruned_scan(postings, [r[2] for r in rows], n_buckets).drop(
+            tids = [r[2] for r in rows]
+            cand = (scan(tids) if scan else _pruned_scan(postings, tids, n_buckets)).drop(
                 "poss"
             ).join(F.broadcast(gated), "term_id")
         else:
@@ -460,7 +468,7 @@ def query_topk_pruned(
         hot_qids = {r["query_id"] for r in meta if r["df"] > hot_df}
         tids = [r["term_id"] for r in meta if r["query_id"] not in hot_qids]
         if tids:
-            cand = _pruned_scan(postings, tids, n_buckets).drop("poss").join(
+            cand = (scan(tids) if scan else _pruned_scan(postings, tids, n_buckets)).drop("poss").join(
                 F.broadcast(gated.filter(~F.col("query_id").isin(list(hot_qids)))
                             if hot_qids else gated),
                 "term_id",
@@ -476,7 +484,7 @@ def query_topk_pruned(
         hot = query_topk_exact(
             postings, terms,
             queries.filter(F.col("query_id").isin(list(hot_qids))),
-            n_docs, avgdl, n_buckets=n_buckets,
+            n_docs, avgdl, n_buckets=n_buckets, scan=scan,
         )
         out = out.unionByName(hot)
     # queries whose terms are all unknown produce no group -> naturally empty

@@ -14,7 +14,9 @@ Reference parity:
 Layout under ``out_dir``::
 
     docstats/   doc_id, repo, path, commit, lang, doclen, sha256
-    tf/         term, doc_id, doclen, tf          (staging checkpoint)
+    tf/         term, doc_id, doclen, tf, sha256  (staging checkpoint; sha256
+                non-NULL on one row per doc, term-NULL sentinel rows carry
+                zero-token docs — docstats derives from here, one tokenize)
     terms/      term, term_id, df, cf
     postings/   bucket=*/...  (compressed blocks, POSTINGS_SCHEMA)
     meta/       n_docs, avgdl, n_buckets, partitions
@@ -176,19 +178,55 @@ class InvertedIndex:
             self._query_cache.pop(next(iter(self._query_cache)))
         return rows
 
+    _manifest_entries: list | None = None
+    _manifest_sig: tuple | None = None
+
+    def _manifest_scan(self):
+        """term_ids -> DataFrame via the file-level stats manifest
+        (plans/manifest.py): files are enumerated from recorded per-file
+        term_id ranges, not directory listings. None when serving from the
+        pinned in-memory postings (no file scan at all then) or when the
+        index predates the manifest."""
+        if self._postings_cached is not None:
+            return None
+        from .manifest import _manifest_path, load_postings_manifest
+
+        # cache keyed on the manifest file's stat signature: a postings
+        # rebuild under the same root rewrites the manifest (atomic rename),
+        # which must invalidate entries pointing at the old file UUIDs
+        try:
+            st = os.stat(_manifest_path(self.root))
+            sig = (st.st_mtime_ns, st.st_size)
+        except OSError:
+            sig = None
+        if sig != self._manifest_sig:
+            self._manifest_entries = (
+                load_postings_manifest(self.root) or [] if sig else []
+            )
+            self._manifest_sig = sig
+        if not self._manifest_entries:
+            return None
+        from .manifest import manifest_scan
+
+        entries = list(self._manifest_entries)
+        return lambda tids: manifest_scan(
+            self.spark, self.root, entries, tids, self.n_buckets
+        )
+
     def topk(self, queries: DataFrame, mode: str = "exact") -> DataFrame:
         from ..operators.topk import query_topk_exact, query_topk_pruned
 
         postings = self._postings_cached if self._postings_cached is not None else self.postings
         terms = self._terms_cached if self._terms_cached is not None else self.terms
+        scan = self._manifest_scan()
         if mode == "exact":
             return query_topk_exact(
                 postings, terms, queries, self.n_docs, self.avgdl,
-                n_buckets=self.n_buckets,
+                n_buckets=self.n_buckets, scan=scan,
             )
         return query_topk_pruned(
             postings, terms, queries, self.n_docs, self.avgdl,
-            term_lookup=self._term_lookup, n_buckets=self.n_buckets,
+            term_lookup=self._term_lookup, n_buckets=self.n_buckets, scan=scan,
         )
 
 
@@ -298,65 +336,82 @@ def build_index(
         if corpus_fp is None:
             corpus_fp = old_fp  # fp-less resume keeps the stored fingerprint
         elif old_fp != corpus_fp:
-            for s in (*STAGES, "lineage"):
-                shutil.rmtree(p[s], ignore_errors=True)
+            for s in (*STAGES, "lineage", "manifest"):
+                shutil.rmtree(os.path.join(out_dir, s) if s == "manifest" else p[s],
+                              ignore_errors=True)
 
     def timed(stage: str, fn):
         t0 = time.time()
         rows = fn()
         metrics.append((stage, int(rows), int((time.time() - t0) * 1000), "built"))
 
-    join_cols = [id_col] if id_col else list(key_cols)
     # metadata columns carried into docstats (everything except payload)
     meta_cols = [
         c for c in corpus.columns
         if c not in (content_col, "sha256", "doc_id", "tokens", "doclen")
     ]
 
-    # stages 1+2: docstats + tf checkpoint -----------------------------------
-    # Two pipelined Arrow-kernel passes, deliberately NOT sharing a cached
-    # tokenized frame (caching array<string> tokens materializes tens of
-    # millions of small JVM objects — a GC storm that *worsens* with
-    # parallelism: measured 38s@8c -> 68s@32c on 100k docs). Tokenization
-    # runs in pandas kernels (north_star: "tokenize -> term-docID pairs
-    # inside vectorized pandas/Arrow UDFs"): python re is ~10x faster than
-    # Spark's regexp expressions on match-heavy text, and tf needs no
-    # shuffle at all (per-doc local counting).
-    if not _done(p["docstats"]):
+    # stage 1: fused tf+docstats kernel, ONE tokenize pass (VERDICT r02 #7) --
+    # The tf kernel runs with_sha=True: per-doc stats (doclen, sha256) ride
+    # the tf stream as a sparse column (sha on the first row of each doc;
+    # zero-token docs emit a term-NULL sentinel row), so docstats is later
+    # DERIVED from this checkpoint with a column-pruned filter — the corpus
+    # content is read and tokenized exactly once per build instead of twice.
+    # Tokenization runs inside Arrow kernels (north_star: "tokenize ->
+    # term-docID pairs inside vectorized pandas/Arrow UDFs"): no JVM token
+    # objects, no shuffle (per-doc local counting).
+    def _docs_with_ids():
+        if id_col:
+            return corpus.withColumn("doc_id", F.col(id_col).cast("long"))
+        # deterministic: doc_id = global rank of key_cols, independent of
+        # partitioning — recomputing it in stage 2 yields identical ids
+        return assign_doc_ids(corpus, list(key_cols), partitions)
+
+    if not _done(p["tf"]):
         def s1():
-            if id_col:
-                docs = corpus.withColumn("doc_id", F.col(id_col).cast("long"))
-            else:
-                docs = assign_doc_ids(corpus, list(key_cols), partitions)
-            _kernels()[1](
-                docs, [c for c in meta_cols if c != id_col], content_col
-            ).write.mode("overwrite").parquet(p["docstats"])
+            docs = _docs_with_ids()
+            tf_kernel = _tf_kernel_positional() if positional else _kernels()[0]
+            tf_kernel(docs, content_col, with_sha=True).write.mode(
+                "overwrite"
+            ).parquet(p["tf"])
             _unpersist(docs)
             return -1
 
-        timed("docstats", s1)
+        timed("tf", s1)
+    else:
+        metrics.append(("tf", -1, 0, "resumed"))
+
+    tf_full = spark.read.parquet(p["tf"])
+    fused = "sha256" in tf_full.columns  # pre-fusion checkpoints lack it
+    # downstream consumers see plain tf rows: sentinels out, sidecar pruned
+    tf = (
+        tf_full.filter(F.col("term").isNotNull()).drop("sha256") if fused else tf_full
+    )
+
+    # stage 2: docstats, derived from the tf checkpoint ----------------------
+    if not _done(p["docstats"]):
+        def s2():
+            docs = _docs_with_ids()
+            meta = docs.select("doc_id", *[c for c in meta_cols if c != id_col])
+            if fused:
+                # one row per doc by construction; scan reads 3 columns
+                per_doc = tf_full.filter(F.col("sha256").isNotNull()).select(
+                    "doc_id", "doclen", "sha256"
+                )
+                out = meta.join(per_doc, "doc_id")
+            else:  # resume of a pre-fusion tf checkpoint: old two-pass kernel
+                out = _kernels()[1](
+                    docs, [c for c in meta_cols if c != id_col], content_col
+                )
+            out.write.mode("overwrite").parquet(p["docstats"])
+            _unpersist(docs)
+            return -1
+
+        timed("docstats", s2)
     else:
         metrics.append(("docstats", -1, 0, "resumed"))
 
     docstats = spark.read.parquet(p["docstats"])
-
-    if not _done(p["tf"]):
-        def s2():
-            # doc_ids come from the checkpointed docstats (pure function of
-            # persisted state; also what resume semantics require)
-            if id_col:
-                docs = corpus.withColumn("doc_id", F.col(id_col).cast("long"))
-            else:
-                docs = corpus.join(docstats.select("doc_id", *join_cols), join_cols)
-            tf_kernel = _tf_kernel_positional() if positional else _kernels()[0]
-            tf_kernel(docs, content_col).write.mode("overwrite").parquet(p["tf"])
-            return -1
-
-        timed("tf", s2)
-    else:
-        metrics.append(("tf", -1, 0, "resumed"))
-
-    tf = spark.read.parquet(p["tf"])
 
     # stage 3: term dictionary ---------------------------------------------
     if not _done(p["terms"]):
@@ -384,6 +439,8 @@ def build_index(
 
     # stage 5: postings ------------------------------------------------------
     if not _done(p["postings"]):
+        # rebuilding postings invalidates any previous file manifest
+        shutil.rmtree(os.path.join(out_dir, "manifest"), ignore_errors=True)
         if postings_groups <= 1 or n_docs == 0:
             def s5():
                 blocks = build_postings(tf, terms, avgdl, n_buckets, partitions, n_docs=n_docs)
@@ -407,6 +464,14 @@ def build_index(
             timed("postings", s5)
     else:
         metrics.append(("postings", -1, 0, "resumed"))
+
+    # file-level stats manifest (Iceberg-style): per posting file (bucket,
+    # term_id min/max) so term-scoped queries enumerate files without
+    # listing directories. Skipped when already present (postings resumed).
+    from .manifest import _manifest_path, write_postings_manifest
+
+    if n_docs > 0 and not os.path.exists(_manifest_path(out_dir)):
+        write_postings_manifest(spark, out_dir)
 
     # meta + metrics are driver-side JSON: one-row tables don't warrant a
     # Spark job each (every sequential job adds fixed latency to the build)

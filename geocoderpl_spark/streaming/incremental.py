@@ -145,6 +145,120 @@ class SegmentedIndex:
         )
         return _topk_window(scored)
 
+    def topk_pruned(self, queries: DataFrame) -> DataFrame:
+        """Serving-grade segmented top-k (VERDICT r02 #3): per-segment
+        literal-pruned block scans feed ONE MaxScore-kernel pass per query —
+        no per-segment join-decode-union loop, no full posting decode.
+
+        How the LSM view stays exact:
+
+        - *global stats*: N/avgdl/df aggregate across segments driver-side
+          (the dictionary probes are metadata-sized), so idf and tfnorm are
+          the global values — scores match a from-scratch single index.
+        - *term-id spaces*: per-segment term_ids are remapped to a global
+          query-term ordinal in the gated broadcast, so the kernel's
+          per-term grouping is segment-agnostic.
+        - *sound block bounds*: block_max_tfn was computed against the
+          segment's own avgdl; it is rescaled by max(1, avgdl_g/avgdl_s) —
+          an upper bound on tfnorm_g/tfnorm_s over all (tf, dl), so MaxScore
+          skipping stays lossless. Final scores use exact decoded (tf, dl).
+        - *k-way merge*: doc spaces are disjoint (per-segment doc_base), so
+          the kernel's score accumulator IS the merge.
+
+        Hot-term queries (global df past the serving cap) route to the exact
+        distributed path, same as the single-index serving plan.
+        """
+        import math
+
+        from ..functions.tokenize import tokenize_py
+        from ..operators.topk import (
+            TOPK_SCHEMA,
+            _hot_df_threshold,
+            _pruned_kernel,
+            _pruned_scan,
+            MAX_BLOCKS_PER_TERM,
+        )
+
+        segs = self.segments()
+        if not segs:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        n_docs, avgdl_g = self.global_stats()
+
+        qrows = queries.collect()  # the query batch is metadata-sized
+        qterms: list[tuple[int, int, str, int]] = []  # (query_id, k, term, qtf)
+        for q in qrows:
+            counts: dict[str, int] = {}
+            for t in tokenize_py(q["query_text"]):
+                counts[t] = counts.get(t, 0) + 1
+            qterms.extend((q["query_id"], int(q["k"]), t, c) for t, c in counts.items())
+        terms_set = sorted({t for _, _, t, _ in qterms})
+        if not terms_set:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        probe = self.spark.createDataFrame([(t,) for t in terms_set], "term string")
+        # per-segment dictionary probes: (term, seg term_id, df) — tiny
+        seg_hits: list[list] = []
+        gdf: dict[str, int] = {}
+        for s in segs:
+            hits = s.terms.join(F.broadcast(probe), "term").select(
+                "term", "term_id", "df"
+            ).collect()
+            seg_hits.append(hits)
+            for r in hits:
+                gdf[r["term"]] = gdf.get(r["term"], 0) + r["df"]
+        gid = {t: i for i, t in enumerate(sorted(gdf))}
+        idf = {
+            t: math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+            for t, df in gdf.items()
+        }
+        hot_df = _hot_df_threshold(MAX_BLOCKS_PER_TERM)
+        hot_qids = {
+            qid for qid, _, t, _ in qterms if gdf.get(t, 0) > hot_df
+        }
+        # (query_id, k, gid, qtf, idf) for cold queries' known terms
+        gated_rows = [
+            (qid, k, gid[t], qtf, idf[t])
+            for qid, k, t, qtf in qterms
+            if t in gid and qid not in hot_qids
+        ]
+        cand, gated = None, None
+        if gated_rows:
+            gated = F.broadcast(self.spark.createDataFrame(
+                gated_rows, "query_id long, k int, term_id long, qtf long, idf double"
+            ))
+            live_gids = {g for _, _, g, _, _ in gated_rows}
+            for s, hits in zip(segs, seg_hits):
+                tid2gid = [(r["term_id"], gid[r["term"]]) for r in hits
+                           if gid[r["term"]] in live_gids]
+                if not tid2gid:
+                    continue
+                remap = F.broadcast(self.spark.createDataFrame(
+                    tid2gid, "term_id long, gid long"
+                ))
+                scale = max(1.0, avgdl_g / s.avgdl) if s.avgdl else 1.0
+                c = (
+                    _pruned_scan(s.postings, [t for t, _ in tid2gid], s.n_buckets)
+                    .drop("poss")
+                    .join(remap, "term_id")
+                    .select(
+                        F.col("gid").alias("term_id"),
+                        "first_doc", "last_doc",
+                        (F.col("block_max_tfn") * F.lit(scale)).alias("block_max_tfn"),
+                        "doc_ids", "tfs", "dls",
+                    )
+                )
+                cand = c if cand is None else cand.unionByName(c)
+        out = (
+            cand.join(gated, "term_id")
+            .groupBy("query_id")
+            .applyInPandas(_pruned_kernel(avgdl_g), schema=TOPK_SCHEMA)
+            if cand is not None
+            else self.spark.createDataFrame([], TOPK_SCHEMA)
+        )
+        if hot_qids:
+            hot = self.topk(queries.filter(F.col("query_id").isin(list(hot_qids))))
+            out = out.unionByName(hot)
+        return out
+
 
 def start_incremental_indexer(
     spark: SparkSession,

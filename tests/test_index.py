@@ -342,3 +342,51 @@ def test_positional_index_phrase_equals_corpus_scan(spark, tmp_path):
         idx.postings, idx.terms, phrases, n_buckets=idx.n_buckets
     ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
     assert indexed.equals(scan), (indexed, scan)
+
+
+def test_manifest_prunes_file_set_and_results_identical(spark, tmp_path):
+    """VERDICT r02 #6: a term-scoped query must open ONLY the files whose
+    manifest [tid_min, tid_max] range can contain the query's term_ids —
+    no directory listing — and return exactly the directory-scan results."""
+    from pyspark.sql import functions as F
+
+    from geocoderpl_spark.operators.topk import _pruned_scan, tid_bucket
+    from geocoderpl_spark.plans.build import build_index
+    from geocoderpl_spark.plans.manifest import (
+        load_postings_manifest,
+        manifest_scan,
+        select_files,
+    )
+    from geocoderpl_spark.sources.corpus import synth_corpus
+
+    root = str(tmp_path / "midx")
+    idx = build_index(spark, synth_corpus(spark, 600), root, n_buckets=8, partitions=8)
+    entries = load_postings_manifest(root)
+    assert entries, "build must write the manifest"
+    all_files = {e["file"] for e in entries}
+    assert len(all_files) > 4  # multiple files so pruning is observable
+
+    tid = idx.terms.filter(F.col("term") == "term_0001").collect()[0]["term_id"]
+    expected = set(select_files(entries, [tid], idx.n_buckets))
+    assert expected and expected < all_files  # proper subset
+    # expected files all live in the term's bucket
+    b = tid_bucket(tid, idx.n_buckets)
+    assert all(f.startswith(f"bucket={b}/") for f in expected)
+
+    df = manifest_scan(spark, root, entries, [tid], idx.n_buckets)
+    opened = {p.split("/postings/")[1] for p in df.inputFiles()}
+    assert opened == expected  # exactly the manifest-selected set
+
+    via_dir = _pruned_scan(idx.postings, [tid], idx.n_buckets)
+    a = sorted(map(tuple, df.drop("bucket").collect()))
+    bb = sorted(map(tuple, via_dir.drop("bucket").collect()))
+    assert a == bb
+
+    # end-to-end: topk consults the manifest and matches the exact path
+    q = spark.createDataFrame(
+        [(0, "term_0001 term_0002", 10)], "query_id long, query_text string, k int"
+    )
+    assert idx._manifest_scan() is not None
+    pruned = sorted(tuple(r) for r in idx.topk(q, "pruned").collect())
+    exact = sorted(tuple(r) for r in idx.topk(q, "exact").collect())
+    assert pruned == exact and len(pruned) == 10

@@ -132,8 +132,10 @@ def test_multimodal_decode_plumbing(spark):
     for r in feats:
         want = np.array(_fake_features(payloads[r.media_id]), dtype=np.float32)
         assert np.array_equal(np.array(r.features, dtype=np.float32), want)
-    with pytest.raises(NotImplementedError):
-        decode_features(media, real_decode=True)
+    # real decode now exists for WAV/PPM (test_decode_features_real_end_to_end);
+    # only codec-bound kinds (video) still raise, inside the kernel
+    with pytest.raises(Exception, match="codec"):
+        decode_features(media.filter(F.col("kind") == "video"), real_decode=True).collect()
 
     rs = resize_images(media, 128).filter(F.col("kind") == "image").collect()
     assert all(max(r.target_width, r.target_height) <= 128 for r in rs)

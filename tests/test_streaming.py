@@ -446,3 +446,56 @@ def test_sessionize_kernel_sorts_across_chunks():
     assert out["n_sessions"].iloc[0] == 2
     assert out["n_events"].iloc[0] == 3
     assert st.stored == (t0 + SESSION_GAP_S + 100, 2, 3)
+
+
+def test_segmented_pruned_topk_rank_identical(spark, streamed, tmp_path):
+    """VERDICT r02 #3: the serving-grade segmented path (per-segment pruned
+    block scans -> one MaxScore kernel pass, remapped term ids, rescaled
+    bounds) must be rank-identical to (a) the exact segment-union path and
+    (b) a merged single index queried exactly."""
+    index_root, corpus = streamed
+    q = spark.createDataFrame(
+        [(0, "term_0001 term_0002", 10), (1, "term_0003", 5),
+         (2, "zzznope", 5), (3, "term_0001 the_hot_term", 10)],
+        "query_id long, query_text string, k int",
+    )
+    seg = SegmentedIndex(spark, index_root)
+    assert len(seg.segments()) >= 2  # genuinely multi-segment
+    exact = sorted(tuple(r) for r in seg.topk(q).collect())
+    pruned = sorted(tuple(r) for r in seg.topk_pruned(q).collect())
+    assert pruned == exact
+
+    merged_dir = str(tmp_path / "one")
+    merged = merge_segments(spark, index_root, merged_dir)
+    one = sorted(tuple(r) for r in merged.topk(q, "exact").collect())
+    assert pruned == one
+
+
+def test_segmented_pruned_hot_term_routes_to_exact(spark, streamed, monkeypatch):
+    """A term whose GLOBAL df exceeds the serving cap must push its query to
+    the exact path while cold queries stay on the kernel — and the mixed
+    result must be rank-identical to all-exact."""
+    from pyspark.sql import functions as F
+
+    from geocoderpl_spark.operators import topk as topkmod
+    from geocoderpl_spark.sources.corpus import HOT_TERM
+
+    index_root, corpus = streamed
+    seg = SegmentedIndex(spark, index_root)
+    q = spark.createDataFrame(
+        [(0, f"{HOT_TERM} term_0001", 10), (1, "term_0002 term_0003", 10)],
+        "query_id long, query_text string, k int",
+    )
+    exact = sorted(tuple(r) for r in seg.topk(q).collect())
+    # threshold between df(term_000x) (a handful) and the hot term's global
+    # df (~35% of 300 docs) -> query 0 routes, query 1 stays pruned
+    monkeypatch.setattr(topkmod, "_hot_df_threshold", lambda mb: 50)
+    # precondition: the hot term really is above, the cold ones below
+    hot_df = sum(
+        r["df"] for s in seg.segments()
+        for r in s.terms.filter(F.col("term") == HOT_TERM).collect()
+    )
+    assert hot_df > 50
+    pruned = sorted(tuple(r) for r in seg.topk_pruned(q).collect())
+    assert pruned == exact
+    assert any(r[0] == 0 for r in pruned) and any(r[0] == 1 for r in pruned)

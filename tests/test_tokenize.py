@@ -74,6 +74,62 @@ def test_tf_and_docstats_kernels_identical(spark):
     assert da.equals(db)
 
 
+def test_fused_tf_sha_kernels(spark):
+    """with_sha=True (the single-pass build, VERDICT r02 #7): arrow and
+    pandas fused kernels agree; the sidecar rows reproduce the standalone
+    docstats kernel exactly (one sha per doc, term-NULL sentinels for
+    zero-token docs); stripping the sidecar recovers plain tf."""
+    from pyspark.sql import functions as F
+
+    from geocoderpl_spark.operators.postings import (
+        docstats_arrow,
+        term_frequencies_arrow,
+        term_frequencies_pandas,
+        term_positions_arrow,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "FooBar foo"), (1, ""), (2, "--- ;; .."), (3, "x y x")],
+        "doc_id long, content string",
+    )
+
+    def norm(df):
+        return (
+            df.toPandas()
+            .sort_values(["doc_id", "term"], na_position="first")
+            .reset_index(drop=True)
+        )
+
+    a = norm(term_frequencies_arrow(docs, with_sha=True))
+    b = norm(term_frequencies_pandas(docs, with_sha=True))
+    assert a.equals(b)
+    c = norm(term_positions_arrow(docs, with_sha=True).drop("positions"))
+    assert a.equals(c)
+
+    # exactly one sha per doc, including the zero-token docs 1 and 2
+    per_doc = a[a["sha256"].notna()]
+    assert sorted(per_doc["doc_id"]) == [0, 1, 2, 3]
+    sentinels = a[a["term"].isna()]
+    assert sorted(sentinels["doc_id"]) == [1, 2]
+    assert (sentinels["doclen"] == 0).all() and (sentinels["tf"] == 0).all()
+
+    # (doc_id, doclen, sha256) == the standalone docstats kernel's output
+    want = docstats_arrow(docs, []).toPandas().sort_values("doc_id").reset_index(drop=True)
+    got = per_doc[["doc_id", "doclen", "sha256"]].sort_values("doc_id").reset_index(drop=True)
+    assert got.equals(want[["doc_id", "doclen", "sha256"]])
+
+    # sentinel-stripped fused tf == plain tf
+    plain = norm(term_frequencies_arrow(docs))
+    fused_tf = (
+        a[a["term"].notna()][["term", "doc_id", "doclen", "tf"]]
+        .sort_values(["doc_id", "term"])
+        .reset_index(drop=True)
+    )
+    assert fused_tf.equals(
+        plain.sort_values(["doc_id", "term"]).reset_index(drop=True)
+    )
+
+
 def test_tokenize_fuzz_four_way_parity():
     """Hypothesis fuzz: spec (python re), DuckDB, and Arrow RE2 agree on
     arbitrary printable+unicode strings."""
