@@ -112,6 +112,71 @@ WHERE r.rnk <= r.k
 """
 
 
+# faceted search: same corpus stats (idf/avgdl global), candidates filtered
+# by the metadata predicate BEFORE ranking — mirrors query_topk_filtered
+_BM25_FILTERED_FINAL = """
+, filt AS (
+  SELECT s.query_id, s.k, s.doc_id, s.score,
+         row_number() OVER (PARTITION BY s.query_id ORDER BY s.score DESC, s.doc_id) AS rnk
+  FROM scored s JOIN documents dd USING (doc_id)
+  WHERE dd.lang = '{lang}'
+)
+SELECT query_id::BIGINT AS query_id, rnk::INT AS rank, doc_id, score
+FROM filt WHERE rnk <= k
+"""
+
+
+def _boolean_oracle() -> str:
+    rows = ", ".join(f"({i}, '{m}', '{n}', {k})" for i, m, n, k in BOOL_QUERIES)
+    return f"""
+WITH tokd AS (
+  SELECT doc_id, {_duck_toks('text')} AS toks FROM documents
+),
+tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf FROM (
+    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tokd
+  ) GROUP BY doc_id, dl, term
+),
+stats AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM tokd),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+bq(query_id, must, must_not, k) AS (VALUES {rows}),
+mtok AS (
+  SELECT query_id, k, term, count(*) AS qtf FROM (
+    SELECT query_id, k, unnest({_duck_toks('must')}) AS term FROM bq
+  ) GROUP BY query_id, k, term
+),
+need AS (SELECT query_id, count(*) AS n_must FROM mtok GROUP BY query_id),
+ntok AS (
+  SELECT DISTINCT query_id, unnest({_duck_toks('must_not')}) AS term FROM bq
+),
+scored AS (
+  SELECT m.query_id, m.k, tf.doc_id,
+         round(sum(m.qtf * ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                   * ((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / s.avgdl)))), 6)
+           AS score,
+         count(*) AS matched
+  FROM tf JOIN dfreq d USING (term) JOIN mtok m USING (term) CROSS JOIN stats s
+  GROUP BY m.query_id, m.k, tf.doc_id
+),
+ok AS (
+  SELECT sc.query_id, sc.k, sc.doc_id, sc.score
+  FROM scored sc JOIN need USING (query_id)
+  WHERE sc.matched = need.n_must
+    AND NOT EXISTS (
+      SELECT 1 FROM tf t JOIN ntok nt ON t.term = nt.term
+      WHERE nt.query_id = sc.query_id AND t.doc_id = sc.doc_id
+    )
+),
+ranked AS (
+  SELECT query_id, doc_id, score, k,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM ok
+)
+SELECT query_id::BIGINT AS query_id, rnk::INT AS rank, doc_id, score
+FROM ranked WHERE rnk <= k
+"""
+
+
 def _bm25_queries_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(BM25_QUERIES, "query_id long, query_text string, k int")
 
@@ -200,6 +265,41 @@ def q_fts_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx.postings, idx.terms, q, idx.n_docs, idx.avgdl,
         n_buckets=idx.n_buckets, max_expansions=AUTOCOMPLETE_MAX_EXP,
     )
+
+
+FILTER_LANG = "de"  # the faceted-search gate's metadata predicate
+
+
+def q_fts_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted search: the BM25 query set restricted to lang=de docs via a
+    doc_id semi-join before scoring (global idf/avgdl — standard
+    filter-query semantics). Reference analog: the GUI's administrative-unit
+    dropdowns scoping the address search."""
+    idx = _pos_index_for(spark, sf_dir)
+    allowed = idx.docstats.filter(F.col("lang") == FILTER_LANG)
+    return idx.topk_filtered(_bm25_queries_df(spark), allowed)
+
+
+# (query_id, must, must_not, k): AND over must tokens, NOT over must_not,
+# BM25-ranked. Unknown must term -> unsatisfiable; empty must -> 0 rows.
+BOOL_QUERIES: list[tuple[int, str, str, int]] = [
+    (0, "spark query", "window", 10),
+    (1, "the fast", "", 10),
+    (2, "merge sort table", "zzznope", 5),
+    (3, "spark zzzunknownterm", "", 10),
+    (4, "row scan", "the fast", 10),
+    (5, "", "spark", 5),
+]
+
+
+def q_fts_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean conjunctive search with negation (must / must_not),
+    BM25-ranked over the persisted index."""
+    idx = _pos_index_for(spark, sf_dir)
+    q = spark.createDataFrame(
+        BOOL_QUERIES, "query_id long, must string, must_not string, k int"
+    )
+    return idx.topk_boolean(q)
 
 
 PHRASE_QUERIES: list[tuple[int, str]] = [
@@ -687,6 +787,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "fts_bm25_topk": q_fts_bm25_topk,
         "fts_bm25_topk_indexed": q_fts_bm25_topk_indexed,
+        "fts_filtered_topk": q_fts_filtered_topk,
+        "fts_boolean": q_fts_boolean,
         "fts_bm25_topk_docs": q_fts_bm25_topk_docs,
         "fts_autocomplete": q_fts_autocomplete,
         "fts_phrase_match": q_fts_phrase_match,
@@ -742,6 +844,8 @@ def oracle_sql() -> dict[str, str]:
         # single-index build by construction -> same oracle
         "stream_topk_pruned": _BM25_CORE + _BM25_FINAL,
         "fts_bm25_topk_indexed": _BM25_CORE + _BM25_FINAL,
+        "fts_filtered_topk": _BM25_CORE + _BM25_FILTERED_FINAL.format(lang=FILTER_LANG),
+        "fts_boolean": _boolean_oracle(),
         "fts_bm25_topk_docs": _BM25_CORE + _BM25_DOCS_FINAL,
         "fts_autocomplete": _autocomplete_oracle(),
         "fts_phrase_match": f"""

@@ -156,15 +156,19 @@ def _attach_sha(out, content, doc_ids, doclen, np, pa):
     on the FIRST output row of each doc (NULL elsewhere), and zero-token
     docs — absent from the tf aggregation — get one sentinel row with term
     NULL so every doc's (doclen, sha256) survives into the checkpoint."""
+    import pyarrow.compute as pc
+
     n = len(doc_ids)
-    sha = _sha256_hex(content, n)
+    sha = pa.array(_sha256_hex(content, n), pa.string())
     out_docs = out["doc_id"].to_numpy()
     order = np.argsort(doc_ids, kind="stable")
     _, first_idx = np.unique(out_docs, return_index=True)
-    sha_vals = np.full(len(out_docs), None, dtype=object)
-    batch_idx = order[np.searchsorted(doc_ids, out_docs[first_idx], sorter=order)]
-    sha_vals[first_idx] = [sha[j] for j in batch_idx]
-    out = out.append_column("sha256", pa.array(sha_vals, pa.string()))
+    # sha lands via a null-masked take — no per-row Python objects: index
+    # array is -1 (null) everywhere except each doc's first output row
+    idx = np.full(out_docs.size, -1, dtype=np.int64)
+    idx[first_idx] = order[np.searchsorted(doc_ids, out_docs[first_idx], sorter=order)]
+    sha_col = pc.take(sha, pa.array(idx, pa.int64(), mask=idx < 0))
+    out = out.append_column("sha256", sha_col)
     zidx = np.nonzero(doclen == 0)[0]
     if zidx.size:
         zeros = pa.array(np.zeros(zidx.size, np.int64), pa.int64())
@@ -173,7 +177,7 @@ def _attach_sha(out, content, doc_ids, doclen, np, pa):
             "doc_id": pa.array(doc_ids[zidx].astype(np.int64), pa.int64()),
             "doclen": zeros,
             "tf": zeros,
-            "sha256": pa.array([sha[j] for j in zidx], pa.string()),
+            "sha256": sha.take(pa.array(zidx, pa.int64())),
         }
         sent = pa.table(
             {f.name: cols.get(f.name, pa.nulls(zidx.size, f.type)) for f in out.schema},

@@ -100,12 +100,15 @@ def _score_gated(
     avgdl: float,
     n_buckets: int | None,
     scan=None,
+    allowed_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Shared scoring tail: gated (query_id, k, term_id, qtf, idf) ->
     pruned posting scan -> decode -> BM25 sum -> top-k window.
 
     ``scan``: optional term_ids -> DataFrame override (e.g. the file-level
     manifest scan, plans/manifest.py) replacing the directory-listing scan.
+    ``allowed_docs``: optional (doc_id) DataFrame; candidates outside it are
+    semi-joined away BEFORE scoring (filtered / faceted search).
     """
     # the gated term set is tiny (distinct query terms); collecting it turns
     # the posting prune into literal pushed filters
@@ -117,6 +120,10 @@ def _score_gated(
     # never pays for the phrase capability
     cand = (scan(tids) if scan else _pruned_scan(postings, tids, n_buckets)).drop("poss")
     rows = decode_postings(cand)
+    if allowed_docs is not None:
+        # semi-join keyed on doc_id only — uniform; AQE picks broadcast vs
+        # shuffle from the filter's actual size
+        rows = rows.join(allowed_docs.select("doc_id"), "doc_id", "left_semi")
     from ..functions.bm25 import tfnorm_col
 
     scored = (
@@ -143,6 +150,109 @@ def query_topk_exact(
     """Distributed exact BM25 top-k. queries: (query_id, query_text, k)."""
     gated = gate_terms(tokenize_queries(queries), terms, n_docs)
     return _score_gated(postings, gated, avgdl, n_buckets, scan=scan)
+
+
+def query_topk_filtered(
+    postings: DataFrame,
+    terms: DataFrame,
+    queries: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    allowed_docs: DataFrame,
+    n_buckets: int | None = None,
+    scan=None,
+) -> DataFrame:
+    """Metadata-filtered (faceted) BM25 top-k: rank only docs present in
+    ``allowed_docs`` (a (doc_id) frame, e.g. docstats filtered on a metadata
+    predicate). Scoring statistics (idf, avgdl, N) stay GLOBAL — standard
+    filter-query semantics (the filter restricts candidates, not the corpus
+    model), so scores are comparable across filters.
+
+    Reference analog: the GUI's administrative-unit dropdowns scoping the
+    address search (``geo_gui.py:64-87``) — a predicate over document
+    metadata applied to the same index.
+
+    Scale: candidates still come from the term-pruned posting scan; the
+    filter is one doc_id-keyed semi-join before scoring (uniform keys, AQE
+    sizes it), never a scan of the unfiltered corpus."""
+    gated = gate_terms(tokenize_queries(queries), terms, n_docs)
+    return _score_gated(
+        postings, gated, avgdl, n_buckets, scan=scan, allowed_docs=allowed_docs
+    )
+
+
+def query_topk_boolean(
+    postings: DataFrame,
+    terms: DataFrame,
+    queries: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    n_buckets: int | None = None,
+    scan=None,
+) -> DataFrame:
+    """Boolean conjunctive search with negation, BM25-ranked.
+
+    ``queries``: (query_id, must string, must_not string, k). A doc
+    qualifies iff it contains EVERY distinct token of ``must`` and NO token
+    of ``must_not``; qualifying docs rank by BM25 over the must terms
+    (duplicate must tokens weight qtf, exactly as in free-text queries).
+    A must token absent from the dictionary makes its query unsatisfiable
+    (0 rows — the conjunction is not silently relaxed); unknown must_not
+    tokens are no-ops. An empty must yields 0 rows.
+
+    Scale shape: one term-pruned posting scan over must ∪ must_not ids;
+    the AND is a counting aggregate keyed (query_id, doc_id) (uniform);
+    the NOT is a left_anti join on the same key — no cartesian, no
+    per-term driver loop.
+    """
+    spark = queries.sparkSession
+    mq = tokenize_queries(
+        queries.select("query_id", "k", F.col("must").alias("query_text"))
+    )
+    # required distinct-term count BEFORE the dictionary gate: an unknown
+    # must term must kill its query, not relax the conjunction
+    need = mq.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_must"))
+    gated = gate_terms(mq, terms, n_docs)
+    nq = tokenize_queries(
+        queries.select("query_id", "k", F.col("must_not").alias("query_text"))
+    ).select("query_id", "term")
+    ngated = (
+        F.broadcast(nq)
+        .join(terms.select("term", "term_id"), "term")
+        .select("query_id", "term_id")
+    )
+    tids = sorted(
+        {r["term_id"] for r in gated.select("term_id").distinct().collect()}
+        | {r["term_id"] for r in ngated.distinct().collect()}
+    )
+    if not tids:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    cand = (scan(tids) if scan else _pruned_scan(postings, tids, n_buckets)).drop("poss")
+    rows = decode_postings(cand)
+    from ..functions.bm25 import tfnorm_col
+
+    pos = rows.join(F.broadcast(gated), "term_id")
+    scored = (
+        pos.withColumn(
+            "contrib",
+            F.col("qtf") * F.col("idf") * tfnorm_col(F.col("tf"), F.col("doclen"), avgdl),
+        )
+        .groupBy("query_id", "k", "doc_id")
+        .agg(
+            F.round(F.sum("contrib"), SCORE_DECIMALS).alias("score"),
+            # one decoded row per (term_id, doc_id), gated unique per
+            # (query_id, term_id) -> count(*) == distinct must terms matched
+            F.count(F.lit(1)).alias("matched"),
+        )
+    )
+    conj = (
+        scored.join(F.broadcast(need), "query_id")
+        .filter(F.col("matched") == F.col("n_must"))
+        .drop("matched", "n_must")
+    )
+    negs = rows.join(F.broadcast(ngated), "term_id").select("query_id", "doc_id").distinct()
+    ok = conj.join(negs, ["query_id", "doc_id"], "left_anti")
+    return _topk_window(ok)
 
 
 def query_topk_autocomplete(

@@ -229,6 +229,30 @@ class InvertedIndex:
             term_lookup=self._term_lookup, n_buckets=self.n_buckets, scan=scan,
         )
 
+    def topk_filtered(self, queries: DataFrame, allowed_docs: DataFrame) -> DataFrame:
+        """Faceted search: BM25 top-k restricted to ``allowed_docs`` (doc_id
+        frame, e.g. ``idx.docstats.filter(...)``); global scoring stats."""
+        from ..operators.topk import query_topk_filtered
+
+        postings = self._postings_cached if self._postings_cached is not None else self.postings
+        terms = self._terms_cached if self._terms_cached is not None else self.terms
+        return query_topk_filtered(
+            postings, terms, queries, self.n_docs, self.avgdl, allowed_docs,
+            n_buckets=self.n_buckets, scan=self._manifest_scan(),
+        )
+
+    def topk_boolean(self, queries: DataFrame) -> DataFrame:
+        """Boolean (must / must_not) search, BM25-ranked — see
+        ``operators.topk.query_topk_boolean``."""
+        from ..operators.topk import query_topk_boolean
+
+        postings = self._postings_cached if self._postings_cached is not None else self.postings
+        terms = self._terms_cached if self._terms_cached is not None else self.terms
+        return query_topk_boolean(
+            postings, terms, queries, self.n_docs, self.avgdl,
+            n_buckets=self.n_buckets, scan=self._manifest_scan(),
+        )
+
 
 def _build_postings_grouped(
     spark: SparkSession,
@@ -360,16 +384,24 @@ def build_index(
     # Tokenization runs inside Arrow kernels (north_star: "tokenize ->
     # term-docID pairs inside vectorized pandas/Arrow UDFs"): no JVM token
     # objects, no shuffle (per-doc local counting).
-    def _docs_with_ids():
+    def _docs_with_ids(cols: list[str]):
+        """corpus pruned to ``cols`` + doc_id. Pruning BEFORE the id
+        assignment matters: assign_doc_ids persists its range-partitioned
+        input (sampled boundaries must not be recomputed), and that cache
+        materializes every column it is given — the tf stage must not cache
+        metadata, and the docstats stage must not cache content."""
+        pruned = corpus.select(
+            *dict.fromkeys([*((id_col,) if id_col else key_cols), *cols])
+        )
         if id_col:
-            return corpus.withColumn("doc_id", F.col(id_col).cast("long"))
+            return pruned.withColumn("doc_id", F.col(id_col).cast("long"))
         # deterministic: doc_id = global rank of key_cols, independent of
         # partitioning — recomputing it in stage 2 yields identical ids
-        return assign_doc_ids(corpus, list(key_cols), partitions)
+        return assign_doc_ids(pruned, list(key_cols), partitions)
 
     if not _done(p["tf"]):
         def s1():
-            docs = _docs_with_ids()
+            docs = _docs_with_ids([content_col])
             tf_kernel = _tf_kernel_positional() if positional else _kernels()[0]
             tf_kernel(docs, content_col, with_sha=True).write.mode(
                 "overwrite"
@@ -391,7 +423,11 @@ def build_index(
     # stage 2: docstats, derived from the tf checkpoint ----------------------
     if not _done(p["docstats"]):
         def s2():
-            docs = _docs_with_ids()
+            # content-free id assignment: only keys + metadata get cached
+            docs = _docs_with_ids(
+                [c for c in meta_cols if c != id_col]
+                + ([content_col] if not fused else [])
+            )
             meta = docs.select("doc_id", *[c for c in meta_cols if c != id_col])
             if fused:
                 # one row per doc by construction; scan reads 3 columns

@@ -344,6 +344,79 @@ def test_positional_index_phrase_equals_corpus_scan(spark, tmp_path):
     assert indexed.equals(scan), (indexed, scan)
 
 
+def test_filtered_topk_equals_rerank_of_exhaustive(spark, index):
+    """Faceted search invariant: filtered top-k == the exhaustive exact
+    ranking (k = everything) post-filtered to the allowed set and re-ranked.
+    Global stats on both sides, so scores must be byte-equal."""
+    from pyspark.sql import functions as F
+
+    q = spark.createDataFrame(
+        [(0, "term_0001 term_0002", 5), (1, "the_hot_term", 7), (2, "zzznope", 5)],
+        "query_id long, query_text string, k int",
+    )
+    allowed = index.docstats.filter(F.col("doc_id") % 3 == 0)
+    got = sorted(tuple(r) for r in index.topk_filtered(q, allowed).collect())
+    allow = {r["doc_id"] for r in allowed.select("doc_id").collect()}
+    assert got and all(r[1] in allow for r in got)
+
+    big = spark.createDataFrame(
+        [(0, "term_0001 term_0002", 100000), (1, "the_hot_term", 100000)],
+        "query_id long, query_text string, k int",
+    )
+    ks = {0: 5, 1: 7}
+    byq: dict[int, list] = {}
+    for r in sorted(
+        index.topk(big, "exact").collect(), key=lambda r: (r["query_id"], r["rank"])
+    ):
+        if r["doc_id"] in allow:
+            byq.setdefault(r["query_id"], []).append(r)
+    want = sorted(
+        (qid, r["doc_id"], r["score"], i + 1)
+        for qid, rows in byq.items()
+        for i, r in enumerate(rows[: ks[qid]])
+    )
+    assert got == want
+
+
+def test_boolean_search_semantics(spark, index, corpus_pdf):
+    """AND over must, NOT over must_not, membership verified against the
+    raw corpus; unknown-must and empty-must queries return nothing."""
+    from pyspark.sql import functions as F
+
+    from geocoderpl_spark.functions.tokenize import tokenize_py
+
+    q = spark.createDataFrame(
+        [(0, "term_0001 term_0002", "term_0003", 50),
+         (1, "term_0001", "zzznope", 10),
+         (2, "term_0001 zzznope", "", 10),
+         (3, "", "term_0001", 10)],
+        "query_id long, must string, must_not string, k int",
+    )
+    rows = index.topk_boolean(q).collect()
+    byq: dict[int, list] = {}
+    for r in rows:
+        byq.setdefault(r["query_id"], []).append(r)
+    assert 2 not in byq and 3 not in byq  # unsatisfiable / empty must
+
+    docs = _docs_dict(spark, index, corpus_pdf)
+    toks = {d: set(tokenize_py(c)) for d, c in docs.items()}
+    want0 = {d for d, t in toks.items()
+             if {"term_0001", "term_0002"} <= t and "term_0003" not in t}
+    assert {r["doc_id"] for r in byq[0]} == want0  # k=50 > |matches|
+    assert {r["doc_id"] for r in byq[1]} <= {d for d, t in toks.items() if "term_0001" in t}
+    assert len(byq[1]) == 10
+
+    # ranking: scores equal the free-text BM25 scores of the same must text
+    ft = spark.createDataFrame(
+        [(0, "term_0001 term_0002", 100000)], "query_id long, query_text string, k int"
+    )
+    free = {r["doc_id"]: r["score"] for r in index.topk(ft, "exact").collect()}
+    for r in byq[0]:
+        assert r["score"] == free[r["doc_id"]]
+    ranks = [r["rank"] for r in sorted(byq[0], key=lambda r: r["rank"])]
+    assert ranks == list(range(1, len(byq[0]) + 1))
+
+
 def test_manifest_prunes_file_set_and_results_identical(spark, tmp_path):
     """VERDICT r02 #6: a term-scoped query must open ONLY the files whose
     manifest [tid_min, tid_max] range can contain the query's term_ids —
