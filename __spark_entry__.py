@@ -267,6 +267,40 @@ def q_fts_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fts_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hit highlighting: first-match position + ±5-token window for every
+    BM25 top-k hit (the result-page rendering step, geo_gui.py:229-243).
+    Hits come from the same pruned index path the BM25 gates certify."""
+    from geocoderpl_spark.operators.textstats import snippets
+
+    idx = _pos_index_for(spark, sf_dir)
+    q = _bm25_queries_df(spark)
+    hits = idx.topk(q, mode="pruned")
+    return snippets(_docs(spark, sf_dir), q, hits, width=5)
+
+
+# snippet oracle tail over the BM25 core's ranked hits
+_SNIPPETS_FINAL = """
+, hit AS (SELECT query_id, doc_id, rnk, k FROM ranked WHERE rnk <= k),
+qterm AS (
+  SELECT DISTINCT query_id, unnest({toks}) AS term FROM q
+),
+pos AS (
+  SELECT h.query_id, h.doc_id, h.rnk,
+         min(CASE WHEN list_position(t.toks, qt.term) > 0
+                  THEN list_position(t.toks, qt.term) END) AS p
+  FROM hit h JOIN tokd t USING (doc_id) JOIN qterm qt ON qt.query_id = h.query_id
+  GROUP BY h.query_id, h.doc_id, h.rnk
+)
+SELECT p2.query_id::BIGINT AS query_id, p2.doc_id, p2.rnk::INT AS rank,
+       p2.p::BIGINT AS first_pos,
+       array_to_string(
+         t.toks[greatest(1, p2.p - 5):least(len(t.toks), p2.p + 5)], ' '
+       ) AS snippet
+FROM pos p2 JOIN tokd t USING (doc_id)
+"""
+
+
 FILTER_LANG = "de"  # the faceted-search gate's metadata predicate
 
 
@@ -789,6 +823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fts_bm25_topk_indexed": q_fts_bm25_topk_indexed,
         "fts_filtered_topk": q_fts_filtered_topk,
         "fts_boolean": q_fts_boolean,
+        "fts_snippets": q_fts_snippets,
         "fts_bm25_topk_docs": q_fts_bm25_topk_docs,
         "fts_autocomplete": q_fts_autocomplete,
         "fts_phrase_match": q_fts_phrase_match,
@@ -846,6 +881,7 @@ def oracle_sql() -> dict[str, str]:
         "fts_bm25_topk_indexed": _BM25_CORE + _BM25_FINAL,
         "fts_filtered_topk": _BM25_CORE + _BM25_FILTERED_FINAL.format(lang=FILTER_LANG),
         "fts_boolean": _boolean_oracle(),
+        "fts_snippets": _BM25_CORE + _SNIPPETS_FINAL.format(toks=_duck_toks("query_text")),
         "fts_bm25_topk_docs": _BM25_CORE + _BM25_DOCS_FINAL,
         "fts_autocomplete": _autocomplete_oracle(),
         "fts_phrase_match": f"""

@@ -110,6 +110,67 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     return docs.select(F.col(id_col), F.md5(canon).alias("fingerprint"))
 
 
+def snippets(
+    docs: DataFrame,
+    queries: DataFrame,
+    hits: DataFrame,
+    width: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Search-result snippets (hit highlighting): for each top-k hit, the
+    1-based position of the FIRST occurrence of any query term in the doc's
+    token stream, plus the ±``width``-token window around it, joined by
+    spaces.
+
+    Reference analog: the GUI shows the matched address row around the hit
+    (``geo_gui.py:229-243``) — the result-page rendering step after top-k.
+
+    Scale shape: the hit set is metadata-sized (k × queries), so its doc_ids
+    become a LITERAL pushed filter on the corpus scan (the J9 point-fetch
+    shape — never a full scan), hits+query-terms broadcast onto the k fetched
+    docs, and the position/window math is pure JVM array expressions
+    (array_position / slice / array_join — no UDF, no shuffle beyond the
+    fetch)."""
+    from ..functions.tokenize import tokenize
+
+    qt = queries.select(
+        "query_id", F.array_distinct(tokenize("query_text")).alias("qterms")
+    )
+    hit_ids = [r["doc_id"] for r in hits.select("doc_id").distinct().collect()]
+    if not hit_ids:
+        return docs.sparkSession.createDataFrame(
+            [], "query_id long, doc_id long, rank int, first_pos long, snippet string"
+        )
+    cand = docs.filter(F.col(id_col).isin(hit_ids)).select(
+        F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks")
+    )
+    j = cand.join(
+        F.broadcast(hits.select("query_id", "doc_id", "rank").join(qt, "query_id")),
+        "doc_id",
+    )
+    # first matched position: array_position yields 0 when absent — filter
+    # those out; a BM25 hit always contains >= 1 query term, so min exists
+    p = F.array_min(
+        F.filter(
+            F.transform(F.col("qterms"), lambda t: F.array_position("toks", t)),
+            lambda x: x > 0,
+        )
+    )
+    j = j.withColumn("first_pos", p)
+    a = F.greatest(F.lit(1).cast("long"), F.col("first_pos") - width)
+    b = F.least(F.size("toks").cast("long"), F.col("first_pos") + width)
+    return j.select(
+        "query_id",
+        "doc_id",
+        F.col("rank").cast("int").alias("rank"),
+        "first_pos",
+        F.array_join(
+            F.slice("toks", a.cast("int"), (b - a + 1).cast("int")), " "
+        ).alias("snippet"),
+    )
+
+
 def phrase_match(
     docs: DataFrame,
     phrases: DataFrame,

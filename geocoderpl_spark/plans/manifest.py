@@ -38,39 +38,56 @@ def _manifest_path(index_root: str) -> str:
     return os.path.join(index_root, "manifest", MANIFEST_FILE)
 
 
-def write_postings_manifest(spark: SparkSession, index_root: str) -> int:
-    """Distributed stats pass over the freshly written postings (reads only
-    the bucket/term_id columns + footers) -> per-file manifest. Returns the
-    number of files recorded. Idempotent (atomic rename)."""
+def write_postings_manifest(spark: SparkSession | None, index_root: str) -> int:
+    """Per-file manifest from the Parquet FOOTERS of the freshly written
+    postings: term_id min/max comes from row-group statistics, bucket from
+    the partition directory name — no Spark job, no data scan, just one
+    footer read per file (the same metadata a query's row-group skipping
+    uses, so the recorded ranges are exactly what pruning can exploit).
+    Returns the number of files recorded. Idempotent (atomic rename).
+
+    At cluster scale (10^5-10^6 files) the footer reads distribute: map the
+    file list through a Spark job doing the same per-file footer read —
+    the contract (one JSONL/parquet row per file) is unchanged. The driver
+    loop here is right for single-box file counts.
+    """
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
     pdir = os.path.join(index_root, "postings")
-    blocks = spark.read.parquet(pdir)
-    if "bucket" not in blocks.columns:
+    entries = []
+    for bdir in sorted(_glob.glob(os.path.join(pdir, "bucket=*"))):
+        bucket = int(os.path.basename(bdir).split("=", 1)[1])
+        for fp in sorted(_glob.glob(os.path.join(bdir, "*.parquet"))):
+            md = pq.ParquetFile(fp).metadata
+            ci = {md.schema.column(i).name: i for i in range(md.num_columns)}["term_id"]
+            tid_min = tid_max = None
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(ci).statistics
+                if st is None or not st.has_min_max:  # pragma: no cover
+                    # stats missing -> widest range (file never wrongly skipped)
+                    tid_min, tid_max = 0, (1 << 62)
+                    break
+                tid_min = st.min if tid_min is None else min(tid_min, st.min)
+                tid_max = st.max if tid_max is None else max(tid_max, st.max)
+            if tid_min is None:  # zero-row file
+                continue
+            entries.append({
+                "file": os.path.join(os.path.basename(bdir), os.path.basename(fp)),
+                "bucket": bucket,
+                "tid_min": int(tid_min), "tid_max": int(tid_max),
+                "n_blocks": int(md.num_rows),
+            })
+    if not entries:
         return 0  # flat empty write (zero-doc index): nothing to manifest
-    rows = (
-        blocks.withColumn("_file", F.input_file_name())
-        .groupBy("_file")
-        .agg(
-            F.first("bucket").alias("bucket"),
-            F.min("term_id").alias("tid_min"),
-            F.max("term_id").alias("tid_max"),
-            F.count(F.lit(1)).alias("n_blocks"),
-        )
-        .collect()
-    )
     os.makedirs(os.path.join(index_root, "manifest"), exist_ok=True)
     tmp = _manifest_path(index_root) + ".tmp"
     with open(tmp, "w") as f:
-        for r in sorted(rows, key=lambda r: r["_file"]):
-            # input_file_name() yields a URI (file:///...); store relative to
-            # the postings dir so the index stays relocatable
-            rel = r["_file"].split("/postings/", 1)[-1]
-            f.write(json.dumps({
-                "file": rel, "bucket": int(r["bucket"]),
-                "tid_min": int(r["tid_min"]), "tid_max": int(r["tid_max"]),
-                "n_blocks": int(r["n_blocks"]),
-            }) + "\n")
+        for e in entries:
+            f.write(json.dumps(e) + "\n")
     os.replace(tmp, _manifest_path(index_root))
-    return len(rows)
+    return len(entries)
 
 
 def load_postings_manifest(index_root: str) -> list[dict] | None:

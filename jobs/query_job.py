@@ -9,6 +9,14 @@ Usage:
     # batch mode: one query per line in a text file
     spark-submit ... jobs/query_job.py --index IDX --queries-file q.txt --k 10
 
+    # boolean: every --query token required, --exclude tokens forbidden
+    spark-submit ... jobs/query_job.py --index IDX --query "spark join" \
+        --exclude "window" --boolean
+
+    # faceted: restrict ranking to docs matching a docstats predicate
+    spark-submit ... jobs/query_job.py --index IDX --query "..." \
+        --filter "lang = 'py'"
+
 Serving mode (`--serve`) pins postings in executor memory and the term
 dictionary driver-side (when it fits) before answering — the low-latency
 path; without it each query plans a cold pruned scan.
@@ -34,6 +42,12 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--mode", choices=("pruned", "exact"), default="pruned")
     ap.add_argument("--fetch", default=None, help="comma-separated docstats columns to join")
     ap.add_argument("--serve", action="store_true")
+    ap.add_argument("--boolean", action="store_true",
+                    help="conjunctive: all --query tokens required")
+    ap.add_argument("--exclude", default="",
+                    help="tokens that must NOT appear (implies --boolean)")
+    ap.add_argument("--filter", default=None,
+                    help="SQL predicate over docstats columns (faceted search)")
     args = ap.parse_args(argv)
     if not args.query and not args.queries_file:
         ap.error("one of --query / --queries-file is required")
@@ -51,12 +65,22 @@ def main(argv: list[str]) -> int:
     else:
         with open(args.queries_file) as f:
             texts = [line.strip() for line in f if line.strip()]
-    q = spark.createDataFrame(
-        [(i, t, args.k) for i, t in enumerate(texts)],
-        "query_id long, query_text string, k int",
-    )
     t0 = time.time()
-    hits = idx.topk(q, mode=args.mode)
+    if args.boolean or args.exclude:
+        bq = spark.createDataFrame(
+            [(i, t, args.exclude, args.k) for i, t in enumerate(texts)],
+            "query_id long, must string, must_not string, k int",
+        )
+        hits = idx.topk_boolean(bq)
+    else:
+        q = spark.createDataFrame(
+            [(i, t, args.k) for i, t in enumerate(texts)],
+            "query_id long, query_text string, k int",
+        )
+        if args.filter:
+            hits = idx.topk_filtered(q, idx.docstats.filter(args.filter))
+        else:
+            hits = idx.topk(q, mode=args.mode)
     if args.fetch:
         hits = idx.fetch(hits, cols=[c.strip() for c in args.fetch.split(",")])
     rows = hits.orderBy("query_id", "rank").collect()

@@ -132,6 +132,31 @@ def main() -> None:
         plan_of(entrymod.q_fts_autocomplete(spark, SF)),
     ))
 
+    # 4b2. boolean + filtered search
+    sections.append((
+        "Query stage — boolean search (must / must_not)",
+        "One literal-pruned posting scan over must ∪ must_not ids; the AND "
+        "is a counting HashAggregate keyed (query_id, doc_id) (partial agg "
+        "before the exchange), the NOT a left_anti BroadcastHashJoin / SMJ "
+        "on the same key. No cartesian, no per-term driver loop.",
+        plan_of(entrymod.q_fts_boolean(spark, SF)),
+    ))
+    sections.append((
+        "Query stage — faceted (metadata-filtered) BM25",
+        "The lang predicate becomes a doc_id semi-join applied AFTER the "
+        "term prune and BEFORE scoring (AQE sizes it); corpus stats stay "
+        "global so scores are comparable across filters.",
+        plan_of(entrymod.q_fts_filtered_topk(spark, SF)),
+    ))
+    sections.append((
+        "Query stage — snippets (hit highlighting)",
+        "The hit set's doc_ids are a LITERAL pushed filter on the corpus "
+        "scan (J9 point-fetch shape — PushedFilters: [In(doc_id, ...)]), "
+        "hits+query-terms broadcast onto the fetched docs, and the "
+        "position/window math is pure JVM array expressions (no UDF).",
+        plan_of(entrymod.q_fts_snippets(spark, SF)),
+    ))
+
     # 4c. indexed phrase search over positional postings
     sections.append((
         "Query stage — indexed phrase search (positional postings)",
