@@ -560,6 +560,153 @@ def _encode_frame(pdf: pd.DataFrame, avgdl: float, np) -> Iterator[pd.DataFrame]
     yield pd.DataFrame(cols)
 
 
+def _encode_partition_arrow(avgdl: float) -> callable:
+    """mapInArrow twin of :func:`_encode_partition` — same math, zero
+    per-block Python objects on output: the binary posting columns are
+    built as Arrow BinaryArrays directly over the varint buffer
+    (``from_buffers`` with block offsets), instead of a Python ``bytes``
+    object per block per column. Blocks tile the encode buffer exactly
+    (every row's bytes belong to exactly one block, in order), so the
+    offsets vector is just the block starts + total length.
+
+    Byte-identical to the pandas encoder (asserted in
+    tests/test_codec.py::test_encode_kernels_byte_identical); select with
+    ``GRAFT_ENCODE_KERNEL=pandas`` to revert."""
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        tail: dict | None = None
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            cols = {c: rb.column(i).to_numpy(zero_copy_only=False)
+                    for i, c in enumerate(rb.schema.names) if c != "positions"}
+            if "positions" in rb.schema.names:
+                parr = rb.column(rb.schema.names.index("positions"))
+                cols["pos_flat"] = pc.list_flatten(parr).to_numpy(zero_copy_only=False)
+                cols["pos_len"] = pc.list_value_length(parr).to_numpy().astype(np.int64)
+            if tail is not None:
+                cols = {k: np.concatenate([tail[k], cols[k]]) for k in cols}
+            n = cols["term_id"].size
+            last_term = cols["term_id"][-1]
+            cut = (cols["term_id"] != last_term).nonzero()[0]
+            if not cut.size:
+                tail = cols
+                continue
+            split = int(cut[-1] + 1)
+            tail = _slice_cols(cols, split, n, np)
+            yield _encode_np(_slice_cols(cols, 0, split, np), avgdl, np, pa)
+        if tail is not None and tail["term_id"].size:
+            import numpy as np
+            import pyarrow as pa
+
+            yield _encode_np(tail, avgdl, np, pa)
+
+    return fn
+
+
+def _slice_cols(cols: dict, a: int, b: int, np) -> dict:
+    out = {}
+    if "pos_len" in cols:
+        pcum = np.concatenate([[0], np.cumsum(cols["pos_len"])])
+        out["pos_flat"] = cols["pos_flat"][pcum[a]:pcum[b]]
+    for k, v in cols.items():
+        if k != "pos_flat":
+            out[k] = v[a:b]
+    return out
+
+
+def _encode_np(cols: dict, avgdl: float, np, pa):
+    """One frame of partition-sorted rows -> an Arrow RecordBatch of blocks
+    (same math as :func:`_encode_frame`, Arrow-native output)."""
+    from ..functions.bm25 import tfnorm_np
+    from ..functions.codec import varint_encode_with_lengths
+
+    terms = cols["term_id"]
+    n_rows = terms.size
+    docs = cols["doc_id"].astype(np.int64)
+    tfs = cols["tf"].astype(np.int64)
+    dls = cols["doclen"].astype(np.int64)
+
+    run_starts = np.concatenate([[0], (np.diff(terms) != 0).nonzero()[0] + 1])
+    run_ends = np.concatenate([run_starts[1:], [n_rows]])
+    run_lens = run_ends - run_starts
+    blocks_per_run = (run_lens + BLOCK_SIZE - 1) // BLOCK_SIZE
+    rep_starts = np.repeat(run_starts, blocks_per_run)
+    k_within = np.arange(int(blocks_per_run.sum())) - np.repeat(
+        np.cumsum(blocks_per_run) - blocks_per_run, blocks_per_run
+    )
+    bstarts = rep_starts + k_within * BLOCK_SIZE
+    bends = np.minimum(bstarts + BLOCK_SIZE, np.repeat(run_ends, blocks_per_run))
+    bn = bends - bstarts
+    n_blocks = bstarts.size
+
+    gaps = np.empty(n_rows, dtype=np.uint64)
+    gaps[1:] = np.diff(docs).astype(np.uint64)
+    gaps[bstarts] = docs[bstarts].astype(np.uint64)
+    tfn = tfnorm_np(tfs.astype(np.float64), dls.astype(np.float64), avgdl)
+
+    def bin_col(vals):
+        buf, lens = varint_encode_with_lengths(vals)
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        offs = np.empty(n_blocks + 1, dtype=np.int32)
+        offs[:-1] = starts[bstarts]
+        offs[-1] = ends[-1] if ends.size else 0
+        return pa.BinaryArray.from_buffers(
+            pa.binary(), n_blocks, [None, pa.py_buffer(offs), pa.py_buffer(buf)]
+        )
+
+    arrays = [
+        pa.array(cols["bucket"][bstarts].astype(np.int32), pa.int32()),
+        pa.array(terms[bstarts].astype(np.int64), pa.int64()),
+        pa.array(docs[bstarts], pa.int64()),
+        pa.array(bn.astype(np.int32), pa.int32()),
+        pa.array(docs[bstarts], pa.int64()),
+        pa.array(docs[bends - 1], pa.int64()),
+        pa.array(np.maximum.reduceat(tfs, bstarts).astype(np.int32), pa.int32()),
+        pa.array(
+            np.nextafter(
+                np.maximum.reduceat(tfn, bstarts).astype(np.float32),
+                np.float32(np.inf),
+            ),
+            pa.float32(),
+        ),
+        bin_col(gaps),
+        bin_col(tfs.astype(np.uint64)),
+        bin_col(dls.astype(np.uint64)),
+    ]
+    names = ["bucket", "term_id", "block_id", "n", "first_doc", "last_doc",
+             "max_tf", "block_max_tfn", "doc_ids", "tfs", "dls"]
+    if "pos_len" in cols:
+        from ..functions.codec import varint_encode_with_lengths as _venc
+
+        lens = cols["pos_len"]
+        flat_pos = cols["pos_flat"].astype(np.int64)
+        flat_row = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+        order = np.lexsort((flat_pos, flat_row))
+        flat_pos = flat_pos[order]
+        pcum = np.concatenate([[0], np.cumsum(lens)])
+        pgaps = np.empty(flat_pos.size, dtype=np.uint64)
+        pgaps[1:] = (flat_pos[1:] - flat_pos[:-1]).astype(np.uint64)
+        heads = pcum[:-1]
+        pgaps[heads] = flat_pos[heads].astype(np.uint64)
+        pbuf, plens = _venc(pgaps)
+        pends = np.cumsum(plens)
+        pstarts = pends - plens
+        offs = np.empty(n_blocks + 1, dtype=np.int32)
+        offs[:-1] = pstarts[pcum[bstarts]]
+        offs[-1] = pends[-1] if pends.size else 0
+        arrays.append(pa.BinaryArray.from_buffers(
+            pa.binary(), n_blocks, [None, pa.py_buffer(offs), pa.py_buffer(pbuf)]
+        ))
+        names.append("poss")
+    return pa.RecordBatch.from_arrays(arrays, names)
+
+
 def build_postings(
     tf: DataFrame,
     terms: DataFrame,
@@ -619,7 +766,14 @@ def build_postings(
         *pos_cols,
     )
     schema = POSTINGS_POS_SCHEMA if positional else POSTINGS_SCHEMA
-    blocks = narrow.mapInPandas(_encode_partition(avgdl), schema=schema)
+    import os as _os
+
+    if _os.environ.get("GRAFT_ENCODE_KERNEL", "arrow") == "pandas":
+        blocks = narrow.mapInPandas(_encode_partition(avgdl), schema=schema)
+    else:
+        # arrow (default): Arrow-native block output, zero per-block Python
+        # objects — byte-identical to the pandas encoder (tested)
+        blocks = narrow.mapInArrow(_encode_partition_arrow(avgdl), schema=schema)
     # local (shuffle-free) re-sort of the encoded blocks: term_id-contiguous
     # row groups give tight Parquet min/max stats, so `term_id IN (...)`
     # skips row groups inside each file (the encode order was (slice,

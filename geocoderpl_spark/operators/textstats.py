@@ -142,7 +142,16 @@ def snippets(
         return docs.sparkSession.createDataFrame(
             [], "query_id long, doc_id long, rank int, first_pos long, snippet string"
         )
-    cand = docs.filter(F.col(id_col).isin(hit_ids)).select(
+    if len(hit_ids) <= 10_000:
+        fetched = docs.filter(F.col(id_col).isin(hit_ids))
+    else:
+        # huge hit batches: a literal In() of 10^5+ ids bloats the plan —
+        # broadcast-semi-join the id set instead (same rows, no pushdown)
+        ids_df = docs.sparkSession.createDataFrame(
+            [(i,) for i in hit_ids], f"{id_col} long"
+        )
+        fetched = docs.join(F.broadcast(ids_df), id_col, "left_semi")
+    cand = fetched.select(
         F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks")
     )
     j = cand.join(

@@ -195,16 +195,20 @@ class SegmentedIndex:
         if not terms_set:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
         probe = self.spark.createDataFrame([(t,) for t in terms_set], "term string")
-        # per-segment dictionary probes: (term, seg term_id, df) — tiny
-        seg_hits: list[list] = []
+        # dictionary probes for ALL segments in ONE job (a union of tiny
+        # broadcast joins, tagged by segment ordinal) — serving latency pays
+        # per-job scheduling, not per-segment
+        probed = None
+        for i, s in enumerate(segs):
+            p = s.terms.join(F.broadcast(probe), "term").select(
+                F.lit(i).alias("seg"), "term", "term_id", "df"
+            )
+            probed = p if probed is None else probed.unionByName(p)
+        seg_hits: list[list] = [[] for _ in segs]
         gdf: dict[str, int] = {}
-        for s in segs:
-            hits = s.terms.join(F.broadcast(probe), "term").select(
-                "term", "term_id", "df"
-            ).collect()
-            seg_hits.append(hits)
-            for r in hits:
-                gdf[r["term"]] = gdf.get(r["term"], 0) + r["df"]
+        for r in probed.collect():
+            seg_hits[r["seg"]].append(r)
+            gdf[r["term"]] = gdf.get(r["term"], 0) + r["df"]
         gid = {t: i for i, t in enumerate(sorted(gdf))}
         idf = {
             t: math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))

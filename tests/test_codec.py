@@ -54,3 +54,31 @@ def test_doc_gap_boundaries():
 def test_tf_roundtrip():
     tf = np.array([1, 1, 9, 200, 70000], dtype=np.int64)
     assert (decode_tfs(encode_tfs(tf)) == tf).all()
+
+
+def test_encode_kernels_byte_identical(spark):
+    """The mapInArrow block encoder must emit BYTE-identical blocks to the
+    pandas encoder — binary payloads included — for both plain and
+    positional postings (resume determinism depends on it)."""
+    import os
+
+    from geocoderpl_spark.operators.docids import assign_doc_ids
+    from geocoderpl_spark.operators.postings import (
+        build_postings,
+        build_terms,
+        term_frequencies_arrow,
+        term_positions_arrow,
+    )
+    from geocoderpl_spark.sources.corpus import synth_corpus
+
+    docs = assign_doc_ids(synth_corpus(spark, 500), ["repo", "path", "commit"], 4)
+    for tf_kernel in (term_frequencies_arrow, term_positions_arrow):
+        tf = tf_kernel(docs)
+        terms = build_terms(tf)
+        os.environ["GRAFT_ENCODE_KERNEL"] = "pandas"
+        try:
+            a = sorted(map(tuple, build_postings(tf, terms, 100.0, 4, 4, n_docs=500).collect()))
+        finally:
+            os.environ.pop("GRAFT_ENCODE_KERNEL", None)
+        b = sorted(map(tuple, build_postings(tf, terms, 100.0, 4, 4, n_docs=500).collect()))
+        assert a == b and len(a) > 50
