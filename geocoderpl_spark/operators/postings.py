@@ -598,14 +598,44 @@ def _encode_partition_arrow(avgdl: float) -> callable:
                 continue
             split = int(cut[-1] + 1)
             tail = _slice_cols(cols, split, n, np)
-            yield _encode_np(_slice_cols(cols, 0, split, np), avgdl, np, pa)
+            for chunk in _frame_chunks(_slice_cols(cols, 0, split, np), np):
+                yield _encode_np(chunk, avgdl, np, pa)
         if tail is not None and tail["term_id"].size:
             import numpy as np
             import pyarrow as pa
 
-            yield _encode_np(tail, avgdl, np, pa)
+            for chunk in _frame_chunks(tail, np):
+                yield _encode_np(chunk, avgdl, np, pa)
 
     return fn
+
+
+# rows per encode frame: bounds every varint buffer (≤ ~30 B/row for the
+# doc/tf/dl streams) far below the int32 BinaryArray offset limit
+_ENCODE_CHUNK_ROWS = 4_000_000
+
+
+def _frame_chunks(cols: dict, np, cap_rows: int = _ENCODE_CHUNK_ROWS):
+    """Split an encode frame into ≤cap_rows chunks whose boundaries sit at
+    run_start + k*BLOCK_SIZE of the run containing them — exactly the block
+    boundaries the unchunked encode would produce, so chunked output is
+    byte-identical (each chunk's first row is a true block head, giving the
+    same absolute-doc_id gap resets and the same per-block byte ranges)."""
+    n = cols["term_id"].size
+    if n <= cap_rows:
+        yield cols
+        return
+    terms = cols["term_id"]
+    run_starts = np.concatenate([[0], (np.diff(terms) != 0).nonzero()[0] + 1])
+    start = 0
+    while start < n:
+        target = min(start + cap_rows, n)
+        if target < n:
+            ri = int(np.searchsorted(run_starts, target, side="right") - 1)
+            rs = int(run_starts[ri])
+            target = rs + ((target - rs) // BLOCK_SIZE) * BLOCK_SIZE
+        yield _slice_cols(cols, int(start), int(target), np)
+        start = int(target)
 
 
 def _slice_cols(cols: dict, a: int, b: int, np) -> dict:

@@ -137,11 +137,19 @@ def snippets(
     qt = queries.select(
         "query_id", F.array_distinct(tokenize("query_text")).alias("qterms")
     )
-    hit_ids = [r["doc_id"] for r in hits.select("doc_id").distinct().collect()]
-    if not hit_ids:
+    # collect the (metadata-sized) hit set ONCE — the hits argument is
+    # typically a full topk pipeline, and referencing it lazily in the join
+    # below would re-execute that whole pipeline a second time
+    hit_rows = hits.select("query_id", "doc_id", "rank").collect()
+    if not hit_rows:
         return docs.sparkSession.createDataFrame(
             [], "query_id long, doc_id long, rank int, first_pos long, snippet string"
         )
+    hit_ids = sorted({r["doc_id"] for r in hit_rows})
+    hits = docs.sparkSession.createDataFrame(
+        [(r["query_id"], r["doc_id"], r["rank"]) for r in hit_rows],
+        "query_id long, doc_id long, rank int",
+    )
     if len(hit_ids) <= 10_000:
         fetched = docs.filter(F.col(id_col).isin(hit_ids))
     else:

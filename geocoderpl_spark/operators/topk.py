@@ -189,6 +189,7 @@ def query_topk_boolean(
     avgdl: float,
     n_buckets: int | None = None,
     scan=None,
+    allowed_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Boolean conjunctive search with negation, BM25-ranked.
 
@@ -229,6 +230,11 @@ def query_topk_boolean(
         return spark.createDataFrame([], TOPK_SCHEMA)
     cand = (scan(tids) if scan else _pruned_scan(postings, tids, n_buckets)).drop("poss")
     rows = decode_postings(cand)
+    if allowed_docs is not None:
+        # faceted boolean: the metadata filter removes candidates before
+        # both the conjunction count and the negation set — composition of
+        # the two predicates, same key, one extra semi-join
+        rows = rows.join(allowed_docs.select("doc_id"), "doc_id", "left_semi")
     from ..functions.bm25 import tfnorm_col
 
     pos = rows.join(F.broadcast(gated), "term_id")

@@ -241,9 +241,12 @@ class InvertedIndex:
             n_buckets=self.n_buckets, scan=self._manifest_scan(),
         )
 
-    def topk_boolean(self, queries: DataFrame) -> DataFrame:
+    def topk_boolean(
+        self, queries: DataFrame, allowed_docs: DataFrame | None = None
+    ) -> DataFrame:
         """Boolean (must / must_not) search, BM25-ranked — see
-        ``operators.topk.query_topk_boolean``."""
+        ``operators.topk.query_topk_boolean``. ``allowed_docs`` composes a
+        metadata facet with the boolean predicate."""
         from ..operators.topk import query_topk_boolean
 
         postings = self._postings_cached if self._postings_cached is not None else self.postings
@@ -251,6 +254,7 @@ class InvertedIndex:
         return query_topk_boolean(
             postings, terms, queries, self.n_docs, self.avgdl,
             n_buckets=self.n_buckets, scan=self._manifest_scan(),
+            allowed_docs=allowed_docs,
         )
 
 

@@ -92,15 +92,16 @@ class SegmentedIndex:
             if d not in consumed
         ]
 
-    def global_stats(self) -> tuple[int, float]:
-        segs = self.segments()
+    def global_stats(self, segs: list[InvertedIndex] | None = None) -> tuple[int, float]:
+        segs = self.segments() if segs is None else segs
         n = sum(s.n_docs for s in segs)
         total_len = sum(s.avgdl * s.n_docs for s in segs)
         return n, (total_len / n if n else 0.0)
 
-    def terms_union(self) -> DataFrame:
+    def terms_union(self, segs: list[InvertedIndex] | None = None) -> DataFrame:
         """Global term dictionary: df/cf summed across segments."""
-        dfs = [s.terms.select("term", "df", "cf") for s in self.segments()]
+        dfs = [s.terms.select("term", "df", "cf")
+               for s in (self.segments() if segs is None else segs)]
         if not dfs:
             return self.spark.createDataFrame([], "term string, df long, cf long")
         u = dfs[0]
@@ -108,19 +109,21 @@ class SegmentedIndex:
             u = u.unionByName(d)
         return u.groupBy("term").agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
 
-    def topk(self, queries: DataFrame) -> DataFrame:
+    def topk(self, queries: DataFrame, segs: list[InvertedIndex] | None = None) -> DataFrame:
         """Exact BM25 over the segment union — rank-identical to a
-        from-scratch single-index build on the same docs."""
+        from-scratch single-index build on the same docs. ``segs`` lets a
+        caller that already enumerated the live segments (one listdir +
+        meta read per segment) reuse them instead of re-enumerating."""
         from ..functions.bm25 import tfnorm_col
         from ..operators.postings import decode_postings
 
-        segs = self.segments()
+        segs = self.segments() if segs is None else segs
         if not segs:  # empty index root -> empty result, not AttributeError
             from ..operators.topk import TOPK_SCHEMA
 
             return self.spark.createDataFrame([], TOPK_SCHEMA)
-        n_docs, avgdl = self.global_stats()
-        gterms = self.terms_union()
+        n_docs, avgdl = self.global_stats(segs)
+        gterms = self.terms_union(segs)
         qterms = tokenize_queries(queries)
         gated = gate_terms(
             qterms, gterms.withColumn("term_id", F.lit(0)), n_docs
@@ -179,10 +182,10 @@ class SegmentedIndex:
             MAX_BLOCKS_PER_TERM,
         )
 
-        segs = self.segments()
+        segs = self.segments()  # enumerated ONCE; reused below incl. hot path
         if not segs:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
-        n_docs, avgdl_g = self.global_stats()
+        n_docs, avgdl_g = self.global_stats(segs)
 
         qrows = queries.collect()  # the query batch is metadata-sized
         qterms: list[tuple[int, int, str, int]] = []  # (query_id, k, term, qtf)
@@ -259,7 +262,9 @@ class SegmentedIndex:
             else self.spark.createDataFrame([], TOPK_SCHEMA)
         )
         if hot_qids:
-            hot = self.topk(queries.filter(F.col("query_id").isin(list(hot_qids))))
+            hot = self.topk(
+                queries.filter(F.col("query_id").isin(list(hot_qids))), segs=segs
+            )
             out = out.unionByName(hot)
         return out
 
@@ -424,7 +429,12 @@ def merge_segments(spark: SparkSession, index_root: str, out_dir: str, n_buckets
     for s in segs:
         t = spark.read.parquet(os.path.join(s.root, "tf"))
         d = s.docstats
-        tf = t if tf is None else tf.unionByName(t)
+        # allowMissingColumns: pre-fusion segments' tf checkpoints lack the
+        # sha256 sidecar column the fused kernel adds — mixed-generation
+        # compaction must not crash (missing side fills NULL, which the
+        # build's term-NOT-NULL filter and docstats derivation never read
+        # here: the merged docstats is written directly below)
+        tf = t if tf is None else tf.unionByName(t, allowMissingColumns=True)
         stats = d if stats is None else stats.unionByName(d, allowMissingColumns=True)
     os.makedirs(out_dir, exist_ok=True)
     stats.write.mode("overwrite").parquet(os.path.join(out_dir, "docstats"))

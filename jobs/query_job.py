@@ -66,19 +66,20 @@ def main(argv: list[str]) -> int:
         with open(args.queries_file) as f:
             texts = [line.strip() for line in f if line.strip()]
     t0 = time.time()
+    allowed = idx.docstats.filter(args.filter) if args.filter else None
     if args.boolean or args.exclude:
         bq = spark.createDataFrame(
             [(i, t, args.exclude, args.k) for i, t in enumerate(texts)],
             "query_id long, must string, must_not string, k int",
         )
-        hits = idx.topk_boolean(bq)
+        hits = idx.topk_boolean(bq, allowed_docs=allowed)
     else:
         q = spark.createDataFrame(
             [(i, t, args.k) for i, t in enumerate(texts)],
             "query_id long, query_text string, k int",
         )
-        if args.filter:
-            hits = idx.topk_filtered(q, idx.docstats.filter(args.filter))
+        if allowed is not None:
+            hits = idx.topk_filtered(q, allowed)
         else:
             hits = idx.topk(q, mode=args.mode)
     if args.fetch:

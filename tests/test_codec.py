@@ -82,3 +82,36 @@ def test_encode_kernels_byte_identical(spark):
             os.environ.pop("GRAFT_ENCODE_KERNEL", None)
         b = sorted(map(tuple, build_postings(tf, terms, 100.0, 4, 4, n_docs=500).collect()))
         assert a == b and len(a) > 50
+
+
+def test_frame_chunking_byte_identical():
+    """_frame_chunks must split at true block boundaries: encoding the
+    chunks (tiny cap) and concatenating must equal the one-shot encode,
+    byte-for-byte — the int32-offset guard cannot change block content."""
+    import numpy as np
+    import pyarrow as pa
+
+    from geocoderpl_spark.operators.postings import _encode_np, _frame_chunks
+
+    rng = np.random.RandomState(7)
+    # a few runs incl. one hot term spanning many blocks
+    terms = np.sort(np.concatenate([
+        np.full(900, 5), np.repeat(np.arange(6, 40), 17), np.full(3, 2)
+    ]))
+    n = terms.size
+    docs = np.concatenate([np.sort(rng.choice(10**6, size=(terms == t).sum(), replace=False))
+                           for t in np.unique(terms)]).astype(np.int64)
+    cols = {
+        "bucket": np.zeros(n, np.int32),
+        "term_id": terms.astype(np.int64),
+        "doc_id": docs,
+        "doclen": rng.randint(1, 500, n).astype(np.int64),
+        "tf": rng.randint(1, 9, n).astype(np.int64),
+    }
+    one = _encode_np(dict(cols), 100.0, np, pa)
+    parts = [_encode_np(c, 100.0, np, pa) for c in _frame_chunks(dict(cols), np, cap_rows=150)]
+    assert len(parts) > 3  # genuinely chunked
+    merged = pa.Table.from_batches(parts)
+    ref = pa.Table.from_batches([one])
+    assert merged.num_rows == ref.num_rows
+    assert merged.to_pydict() == ref.to_pydict()

@@ -53,3 +53,17 @@ def test_query_job_boolean_and_filter_modes(spark, job_index, capsys):
                  "--filter", "doc_id % 2 = 0", "--k", "10", "--fetch", "lang"], capsys)
     assert rows and all(r["doc_id"] % 2 == 0 for r in rows)
     assert all("lang" in r for r in rows)
+
+    # boolean AND facet compose (the filter must not be silently dropped)
+    rows = _run(["--index", job_index.root, "--query", "term_0001",
+                 "--exclude", "term_0003", "--filter", "doc_id % 2 = 0",
+                 "--k", "50"], capsys)
+    assert rows and all(r["doc_id"] % 2 == 0 for r in rows)
+    cq = spark.createDataFrame(
+        [(0, "term_0001", "term_0003", 50)],
+        "query_id long, must string, must_not string, k int",
+    )
+    allowed = job_index.docstats.filter("doc_id % 2 = 0")
+    want = {(r["doc_id"], r["rank"])
+            for r in job_index.topk_boolean(cq, allowed_docs=allowed).collect()}
+    assert {(r["doc_id"], r["rank"]) for r in rows} == want
