@@ -609,6 +609,32 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_cosine_topk(_emb(spark, sf_dir), ANN_PROBES, dim=EMB_DIM, k=ANN_K)
 
 
+def q_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted IVF index (build once, query many): list_id-partitioned
+    vectors + driver-pinned centroids; nprobe pruning is literal partition-
+    directory pruning. Result-identical to the one-shot ivf_cosine_topk
+    (same quantizer, same rerank) -> same oracle."""
+    from geocoderpl_spark.plans.ann_index import build_ivf_index
+
+    root = os.path.join(
+        tempfile.gettempdir(), "graft_ivfidx_" + sf_dir.strip("/").replace("/", "_")
+    )
+    fp_file = os.path.join(root, "_corpus_fp")
+    fp = _corpus_fp(sf_dir)
+    if not (os.path.exists(fp_file) and open(fp_file).read() == fp):
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        idx = build_ivf_index(spark, _emb(spark, sf_dir), root, dim=EMB_DIM)
+        with open(fp_file, "w") as f:
+            f.write(fp)
+    else:
+        from geocoderpl_spark.plans.ann_index import IvfIndex
+
+        idx = IvfIndex.load(spark, root)
+    return idx.topk(ANN_PROBES, k=ANN_K)
+
+
 def q_stream_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming watermarked tumbling-window rollup, end to end:
     the events table is replayed as micro-batch 1, then a far-future sentinel
@@ -858,6 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_persisted": q_ann_ivf_persisted,
         "stream_windowed_rollup": q_stream_windowed_rollup,
         "stream_sessionize": q_stream_sessionize,
         "stream_topk_pruned": q_stream_topk_pruned,
@@ -1322,6 +1349,8 @@ FROM m
     # the indexed phrase path is result-identical to the corpus scan by
     # construction — one oracle serves both gates
     d["fts_phrase_indexed"] = d["fts_phrase_match"]
+    # persisted IVF = same quantizer + rerank as the one-shot operator
+    d["ann_ivf_persisted"] = d["ann_ivf_topk"]
     return d
 
 

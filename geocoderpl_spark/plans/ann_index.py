@@ -1,0 +1,171 @@
+"""Persisted IVF-Flat ANN index: build once, query many.
+
+``operators/similarity.ivf_cosine_topk`` recomputes the coarse quantizer and
+assignments on every call — right for one-shot jobs, wrong for serving. This
+module materializes the IVF layout the SCALE.md design promises:
+
+    <root>/centroids/   (list_id, cvec)           — C rows, driver-cacheable
+    <root>/vectors/     list_id=*/...(id, vec)    — partitionBy(list_id)
+    <root>/meta/meta.json
+
+so query-time nprobe selection happens DRIVER-side against the cached
+centroids (C ≈ sqrt(n) rows — metadata), and the candidate scan is a literal
+``list_id IN (...)`` over partition directories: the same
+directory-pruning shape as the term-bucket and sector prunes. Results are
+IDENTICAL to :func:`ivf_cosine_topk` with the same (n_centroids, n_probe):
+same deterministic quantizer, same exact-cosine rerank, same tie-breaks —
+so the persisted path shares the one-shot path's SQL oracle.
+
+Reference analog: the reference persists its grid once in SQLite and every
+GUI query reads sectors from it (``geo_gui.py:42-43``); this is that
+build/serve split for the embedding table.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.similarity import (
+    COS_DECIMALS,
+    IVF_CENTROIDS,
+    IVF_NPROBE,
+    _dot,
+    _norm,
+    ivf_assignments,
+)
+
+
+def build_ivf_index(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    out_dir: str,
+    dim: int,
+    n_centroids: int = IVF_CENTROIDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "IvfIndex":
+    """Materialize the IVF layout (idempotent: resumes when complete)."""
+    meta_file = os.path.join(out_dir, "meta", "meta.json")
+    if not (
+        os.path.exists(meta_file)
+        and os.path.exists(os.path.join(out_dir, "vectors", "_SUCCESS"))
+    ):
+        assign = ivf_assignments(embeddings, dim, n_centroids, id_col, vec_col)
+        (
+            embeddings.join(assign, id_col)
+            .repartition("list_id")
+            .write.mode("overwrite")
+            .partitionBy("list_id")
+            .parquet(os.path.join(out_dir, "vectors"))
+        )
+        cents = (
+            embeddings.orderBy(F.asc(id_col)).limit(n_centroids)
+            .select(F.col(id_col).alias("cent_of"), F.col(vec_col).alias("cvec"))
+        )
+        cents = cents.select(
+            F.row_number().over(Window.orderBy(F.asc("cent_of"))).alias("list_id"),
+            "cvec",
+        )
+        cents.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "centroids")
+        )
+        os.makedirs(os.path.join(out_dir, "meta"), exist_ok=True)
+        tmp = meta_file + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"dim": dim, "n_centroids": n_centroids,
+                       "id_col": id_col, "vec_col": vec_col}, f)
+        os.replace(tmp, meta_file)
+    return IvfIndex.load(spark, out_dir)
+
+
+class IvfIndex:
+    """Handle over a persisted IVF index directory."""
+
+    def __init__(self, spark: SparkSession, root: str, meta: dict):
+        self.spark = spark
+        self.root = root
+        self.dim = meta["dim"]
+        self.n_centroids = meta["n_centroids"]
+        self.id_col = meta.get("id_col", "vec_id")
+        self.vec_col = meta.get("vec_col", "embedding")
+        # centroids are metadata-sized (C ≈ sqrt(n)): pin them driver-side
+        # so nprobe selection never runs a Spark job
+        self._centroids = [
+            (r["list_id"], list(r["cvec"]))
+            for r in spark.read.parquet(os.path.join(root, "centroids")).collect()
+        ]
+
+    @classmethod
+    def load(cls, spark: SparkSession, root: str) -> "IvfIndex":
+        with open(os.path.join(root, "meta", "meta.json")) as f:
+            return cls(spark, root, json.load(f))
+
+    @property
+    def vectors(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.root, "vectors"))
+
+    def _nprobe_lists(self, pvec: list[float], n_probe: int) -> list[int]:
+        """Driver-side nprobe selection against the pinned centroids —
+        ties break on ascending list_id, matching the one-shot operator."""
+        pn = math.sqrt(sum(x * x for x in pvec)) or 1.0
+        scored = []
+        for lid, cvec in self._centroids:
+            cn = math.sqrt(sum(x * x for x in cvec)) or 1.0
+            scored.append((-sum(a * b for a, b in zip(pvec, cvec)) / (pn * cn), lid))
+        return [lid for _, lid in sorted(scored)[:n_probe]]
+
+    def topk(
+        self, probe_ids: list[int], k: int = 5, n_probe: int = IVF_NPROBE
+    ) -> DataFrame:
+        """(probe_id, rank, vec_id, cos) — identical to ivf_cosine_topk on
+        the same embeddings/params; the candidate scan is partition-pruned
+        to the probes' nprobe lists (``list_id IN (...)`` over dirs)."""
+        vecs = self.vectors
+        probes = {
+            r[self.id_col]: list(r[self.vec_col])
+            for r in vecs.filter(F.col(self.id_col).isin(probe_ids)).collect()
+        }
+        pairs = []  # (probe_id, list_id)
+        for pid in probe_ids:
+            if pid not in probes:
+                continue
+            pairs.extend((pid, lid) for lid in self._nprobe_lists(probes[pid], n_probe))
+        if not pairs:
+            return self.spark.createDataFrame(
+                [], f"probe_id long, rank int, {self.id_col} long, cos double"
+            )
+        lists = sorted({lid for _, lid in pairs})
+        plists = self.spark.createDataFrame(
+            [
+                (pid, lid, probes[pid])
+                for pid, lid in pairs
+            ],
+            f"probe_id long, list_id int, pvec array<float>",
+        )
+        cand = (
+            vecs.filter(F.col("list_id").isin(lists))  # partition-dir prune
+            .join(F.broadcast(plists), "list_id")
+            .filter(F.col(self.id_col) != F.col("probe_id"))
+        )
+        scored = cand.select(
+            "probe_id",
+            self.id_col,
+            F.round(
+                _dot(F.col(self.vec_col), F.col("pvec"))
+                / (_norm(F.col(self.vec_col)) * _norm(F.col("pvec"))),
+                COS_DECIMALS,
+            ).alias("cos"),
+        )
+        w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc(self.id_col))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "probe_id", F.col("rank").cast("int").alias("rank"), self.id_col, "cos"
+            )
+        )

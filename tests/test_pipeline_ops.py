@@ -388,3 +388,39 @@ def test_decode_features_real_end_to_end(spark):
     )
     with pytest.raises(Exception, match="codec"):
         decode_features(vids, real_decode=True).collect()
+
+
+def test_persisted_ivf_identical_and_partition_pruned(spark, tmp_path):
+    """The persisted IVF index must return EXACTLY the one-shot operator's
+    results (same quantizer, rerank, tie-breaks) and its candidate scan must
+    open only the probes' nprobe list directories."""
+    from geocoderpl_spark.operators.similarity import IVF_NPROBE, ivf_cosine_topk
+    from geocoderpl_spark.plans.ann_index import IvfIndex, build_ivf_index
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    probes = [0, 1, 2, 3, 4]
+    root = str(tmp_path / "ivf")
+    idx = build_ivf_index(spark, emb, root, dim=64)
+    got = sorted(tuple(r) for r in idx.topk(probes, k=5).collect())
+    want = sorted(tuple(r) for r in ivf_cosine_topk(emb, probes, dim=64, k=5).collect())
+    assert got == want and len(got) == 25
+
+    # partition pruning: the pruned vectors scan reads only the nprobe lists
+    v = idx.vectors
+    pv = {r["vec_id"]: list(r["embedding"]) for r in
+          v.filter("vec_id in (0)").collect()}
+    lists = idx._nprobe_lists(pv[0], IVF_NPROBE)
+    pruned = v.filter(v.list_id.isin(lists))
+    # executed-file evidence (inputFiles() ignores pushdown): the scan only
+    # ever reads the nprobe list directories
+    opened = {r[0].split("list_id=")[1].split("/")[0] for r in
+              pruned.select(F.input_file_name()).distinct().collect()}
+    assert opened == {str(l) for l in lists}
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "list_id IN" in plan or "list_id#" in plan  # partition filter present
+    n_lists = v.select("list_id").distinct().count()
+    assert len(opened) < n_lists  # proper subset of the index's lists
+
+    # cold reload answers identically
+    again = sorted(tuple(r) for r in IvfIndex.load(spark, root).topk(probes, k=5).collect())
+    assert again == got
