@@ -8,7 +8,9 @@ spans, shuffle structure). Run after operator changes:
 from __future__ import annotations
 
 import io
+import shutil
 import sys
+import tempfile
 from contextlib import redirect_stdout
 
 sys.path.insert(0, ".")
@@ -166,6 +168,24 @@ def main() -> None:
         "scan touches only the phrase terms' buckets.",
         plan_of(entrymod.q_fts_phrase_indexed(spark, SF)),
     ))
+
+    # 4d. persisted IVF: partition-dir pruned candidate scan
+    from geocoderpl_spark.plans.ann_index import build_ivf_index
+
+    ivf_root = tempfile.mkdtemp(prefix="plans_ivf_")
+    ivf = build_ivf_index(
+        spark, spark.read.parquet(f"{SF}/embeddings.parquet"), ivf_root, dim=64
+    )
+    sections.append((
+        "ANN — persisted IVF index (partition-dir pruned scan)",
+        "nprobe selection runs driver-side against the pinned centroid "
+        "table (no Spark job); the candidate scan carries "
+        "`PartitionFilters: [list_id IN (...)]` — only the probes' nprobe "
+        "list directories are read (executed-file test in "
+        "test_pipeline_ops.py).",
+        plan_of(ivf.topk([0, 1, 2], k=5)),
+    ))
+    shutil.rmtree(ivf_root, ignore_errors=True)
 
     # 5. coords route: sector-pruned NN lookup
     sections.append((
