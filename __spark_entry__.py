@@ -203,12 +203,12 @@ def q_fts_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INDEX_CACHE: dict[str, object] = {}
 
 
-def _corpus_fp(sf_dir: str) -> str:
+def _corpus_fp(sf_dir: str, table: str = "documents.parquet") -> str:
     """Fingerprint of the source parquet (names+sizes+mtimes): build_index
     invalidates stale checkpoints when the data under sf_dir changes."""
     import hashlib
 
-    root = os.path.join(sf_dir, "documents.parquet")
+    root = os.path.join(sf_dir, table)
     parts = []
     walk = sorted(os.walk(root)) if os.path.isdir(root) else [(os.path.dirname(root), [], [os.path.basename(root)])]
     for d, _, files in walk:
@@ -620,7 +620,10 @@ def q_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(), "graft_ivfidx_" + sf_dir.strip("/").replace("/", "_")
     )
     fp_file = os.path.join(root, "_corpus_fp")
-    fp = _corpus_fp(sf_dir)
+    # fingerprint the table this index is actually built from (NOT the
+    # documents table) + the build params, so regenerated embeddings or
+    # changed constants rebuild instead of serving a stale index
+    fp = _corpus_fp(sf_dir, "embeddings.parquet") + f":{EMB_DIM}"
     if not (os.path.exists(fp_file) and open(fp_file).read() == fp):
         import shutil
 

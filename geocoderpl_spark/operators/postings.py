@@ -615,14 +615,26 @@ def _encode_partition_arrow(avgdl: float) -> callable:
 _ENCODE_CHUNK_ROWS = 4_000_000
 
 
-def _frame_chunks(cols: dict, np, cap_rows: int = _ENCODE_CHUNK_ROWS):
-    """Split an encode frame into ≤cap_rows chunks whose boundaries sit at
-    run_start + k*BLOCK_SIZE of the run containing them — exactly the block
-    boundaries the unchunked encode would produce, so chunked output is
-    byte-identical (each chunk's first row is a true block head, giving the
-    same absolute-doc_id gap resets and the same per-block byte ranges)."""
+# positions per chunk: bounds the positional varint buffer (≤ ~5 B/gap)
+# under the int32 BinaryArray offset limit with wide margin
+_ENCODE_CHUNK_POS = 100_000_000
+
+
+def _frame_chunks(cols: dict, np, cap_rows: int = _ENCODE_CHUNK_ROWS,
+                  cap_pos: int = _ENCODE_CHUNK_POS):
+    """Split an encode frame into chunks of ≤cap_rows rows AND (for
+    positional frames) ≤~cap_pos flattened positions — the positions stream
+    scales with total tf, not rows, so a row cap alone cannot bound its
+    varint buffer. Boundaries sit at run_start + k*BLOCK_SIZE of the run
+    containing them — exactly the block boundaries the unchunked encode
+    would produce, so chunked output is byte-identical (each chunk's first
+    row is a true block head: same absolute-doc_id gap resets, same
+    per-block byte ranges)."""
     n = cols["term_id"].size
-    if n <= cap_rows:
+    pcum = None
+    if "pos_len" in cols:
+        pcum = np.concatenate([[0], np.cumsum(cols["pos_len"])])
+    if n <= cap_rows and (pcum is None or pcum[-1] <= cap_pos):
         yield cols
         return
     terms = cols["term_id"]
@@ -630,10 +642,26 @@ def _frame_chunks(cols: dict, np, cap_rows: int = _ENCODE_CHUNK_ROWS):
     start = 0
     while start < n:
         target = min(start + cap_rows, n)
+        if pcum is not None:
+            # furthest row keeping the chunk's positions within cap_pos
+            ptarget = int(np.searchsorted(pcum, pcum[start] + cap_pos, "right") - 1)
+            target = min(target, max(ptarget, start + 1))
         if target < n:
             ri = int(np.searchsorted(run_starts, target, side="right") - 1)
             rs = int(run_starts[ri])
             target = rs + ((target - rs) // BLOCK_SIZE) * BLOCK_SIZE
+            if target <= start:
+                # progress guard (caps smaller than a block, or one row's
+                # positions exceeding cap_pos): advance to the next block
+                # boundary after start — clamped to the current run's end,
+                # which is itself a boundary (every run start heads a block)
+                ri2 = int(np.searchsorted(run_starts, start, "right") - 1)
+                rs2 = int(run_starts[ri2])
+                run_end = int(run_starts[ri2 + 1]) if ri2 + 1 < run_starts.size else n
+                target = min(
+                    n, run_end,
+                    rs2 + ((start - rs2) // BLOCK_SIZE + 1) * BLOCK_SIZE,
+                )
         yield _slice_cols(cols, int(start), int(target), np)
         start = int(target)
 

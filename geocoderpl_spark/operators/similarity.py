@@ -205,6 +205,26 @@ IVF_CENTROIDS = 16  # coarse-quantizer size (≈ sqrt(n) at scale)
 IVF_NPROBE = 4      # centroid lists scanned per query
 
 
+def centroid_table(
+    embeddings: DataFrame,
+    n_centroids: int = IVF_CENTROIDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The deterministic coarse quantizer, SINGLE source of truth:
+    (list_id, cvec) where centroid c = the corpus vector with the c-th
+    smallest id. Every IVF surface (one-shot assignment/query, persisted
+    index build) derives its centroids from here — the persisted index's
+    oracle-identicality depends on all paths quantizing identically."""
+    cents = (
+        embeddings.orderBy(F.asc(id_col)).limit(n_centroids)
+        .select(F.col(id_col).alias("cent_of"), F.col(vec_col).alias("cvec"))
+    )
+    return cents.select(
+        F.row_number().over(Window.orderBy(F.asc("cent_of"))).alias("list_id"), "cvec"
+    )
+
+
 def ivf_assignments(
     embeddings: DataFrame,
     dim: int,
@@ -224,13 +244,7 @@ def ivf_assignments(
     nprobe pruning is directory pruning — the same shape as the term-bucket
     and sector prunes.
     """
-    cents = (
-        embeddings.orderBy(F.asc(id_col)).limit(n_centroids)
-        .select(F.col(id_col).alias("cent_of"), F.col(vec_col).alias("cvec"))
-    )
-    cents = cents.select(
-        F.row_number().over(Window.orderBy(F.asc("cent_of"))).alias("list_id"), "cvec"
-    )
+    cents = centroid_table(embeddings, n_centroids, id_col, vec_col)
     scored = embeddings.crossJoin(F.broadcast(cents)).select(
         id_col,
         "list_id",
@@ -266,14 +280,7 @@ def ivf_cosine_topk(
     probes = embeddings.filter(F.col(id_col).isin(probe_ids)).select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pvec")
     )
-    cents = (
-        embeddings.orderBy(F.asc(id_col)).limit(n_centroids)
-        .select(F.col(id_col).alias("cent_of"), F.col(vec_col).alias("cvec"))
-        .select(
-            F.row_number().over(Window.orderBy(F.asc("cent_of"))).alias("list_id"),
-            "cvec",
-        )
-    )
+    cents = centroid_table(embeddings, n_centroids, id_col, vec_col)
     pscore = probes.crossJoin(F.broadcast(cents)).select(
         "probe_id",
         "pvec",

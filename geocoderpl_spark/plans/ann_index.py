@@ -49,12 +49,26 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> "IvfIndex":
-    """Materialize the IVF layout (idempotent: resumes when complete)."""
+    """Materialize the IVF layout. Idempotent: resumes only when the
+    existing index's recorded parameters match the requested ones — a
+    param change (n_centroids, columns) wipes and rebuilds rather than
+    silently serving an index built under different settings."""
+    params = {"dim": dim, "n_centroids": n_centroids,
+              "id_col": id_col, "vec_col": vec_col}
     meta_file = os.path.join(out_dir, "meta", "meta.json")
-    if not (
-        os.path.exists(meta_file)
-        and os.path.exists(os.path.join(out_dir, "vectors", "_SUCCESS"))
-    ):
+    complete = os.path.exists(meta_file) and os.path.exists(
+        os.path.join(out_dir, "vectors", "_SUCCESS")
+    )
+    if complete:
+        with open(meta_file) as f:
+            if json.load(f) != params:
+                import shutil
+
+                shutil.rmtree(out_dir, ignore_errors=True)
+                complete = False
+    if not complete:
+        from ..operators.similarity import centroid_table
+
         assign = ivf_assignments(embeddings, dim, n_centroids, id_col, vec_col)
         (
             embeddings.join(assign, id_col)
@@ -63,22 +77,13 @@ def build_ivf_index(
             .partitionBy("list_id")
             .parquet(os.path.join(out_dir, "vectors"))
         )
-        cents = (
-            embeddings.orderBy(F.asc(id_col)).limit(n_centroids)
-            .select(F.col(id_col).alias("cent_of"), F.col(vec_col).alias("cvec"))
-        )
-        cents = cents.select(
-            F.row_number().over(Window.orderBy(F.asc("cent_of"))).alias("list_id"),
-            "cvec",
-        )
-        cents.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(out_dir, "centroids")
-        )
+        centroid_table(embeddings, n_centroids, id_col, vec_col).coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(out_dir, "centroids"))
         os.makedirs(os.path.join(out_dir, "meta"), exist_ok=True)
         tmp = meta_file + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"dim": dim, "n_centroids": n_centroids,
-                       "id_col": id_col, "vec_col": vec_col}, f)
+            json.dump(params, f)
         os.replace(tmp, meta_file)
     return IvfIndex.load(spark, out_dir)
 
@@ -110,14 +115,26 @@ class IvfIndex:
         return self.spark.read.parquet(os.path.join(self.root, "vectors"))
 
     def _nprobe_lists(self, pvec: list[float], n_probe: int) -> list[int]:
-        """Driver-side nprobe selection against the pinned centroids —
-        ties break on ascending list_id, matching the one-shot operator."""
-        pn = math.sqrt(sum(x * x for x in pvec)) or 1.0
+        """Driver-side nprobe selection against the pinned centroids.
+        Mirrors the one-shot operator's Spark window EXACTLY, including NaN
+        semantics: 0/0 and NaN-component cosines are NaN, which Spark's
+        ``desc(ccos)`` orders LARGEST (probed first), ties on ascending
+        list_id — so degenerate (zero-norm / NaN) vectors pick the same
+        lists on both paths."""
+        pn = math.sqrt(sum(x * x for x in pvec))
         scored = []
         for lid, cvec in self._centroids:
-            cn = math.sqrt(sum(x * x for x in cvec)) or 1.0
-            scored.append((-sum(a * b for a, b in zip(pvec, cvec)) / (pn * cn), lid))
-        return [lid for _, lid in sorted(scored)[:n_probe]]
+            cn = math.sqrt(sum(x * x for x in cvec))
+            denom = pn * cn
+            c = (
+                float("nan") if denom == 0.0
+                else sum(a * b for a, b in zip(pvec, cvec)) / denom
+            )
+            # NaN group first (Spark sorts NaN as the largest double under
+            # desc), then by cosine desc, then list_id asc
+            scored.append((0 if math.isnan(c) else 1,
+                           0.0 if math.isnan(c) else -c, lid))
+        return [lid for _, _, lid in sorted(scored)[:n_probe]]
 
     def topk(
         self, probe_ids: list[int], k: int = 5, n_probe: int = IVF_NPROBE

@@ -426,6 +426,19 @@ def merge_segments(spark: SparkSession, index_root: str, out_dir: str, n_buckets
         raise ValueError(f"merge_segments: no segments under {index_root}")
     tf = None
     stats = None
+    # positional and plain segments must not silently mix: NULL-filled
+    # position lists would crash deep inside the encode kernel; fail with a
+    # clear error at compaction time instead
+    pos_kinds = {
+        "positions" in spark.read.parquet(os.path.join(s.root, "tf")).columns
+        for s in segs
+    }
+    if len(pos_kinds) > 1:
+        raise ValueError(
+            "merge_segments: cannot compact a mix of positional and "
+            "non-positional segments — rebuild the plain segments with "
+            "positional=True (or vice versa) first"
+        )
     for s in segs:
         t = spark.read.parquet(os.path.join(s.root, "tf"))
         d = s.docstats

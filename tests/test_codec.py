@@ -115,3 +115,36 @@ def test_frame_chunking_byte_identical():
     ref = pa.Table.from_batches([one])
     assert merged.num_rows == ref.num_rows
     assert merged.to_pydict() == ref.to_pydict()
+
+
+def test_frame_chunking_positional_and_progress():
+    """Positions-aware chunking: a positional frame split by cap_pos stays
+    byte-identical; degenerate caps (smaller than a block) still terminate
+    and produce identical output."""
+    import numpy as np
+    import pyarrow as pa
+
+    from geocoderpl_spark.operators.postings import _encode_np, _frame_chunks
+
+    rng = np.random.RandomState(3)
+    terms = np.sort(np.repeat(np.arange(5), 200))
+    n = terms.size
+    docs = np.concatenate([np.sort(rng.choice(10**5, 200, replace=False))
+                           for _ in range(5)]).astype(np.int64)
+    tfs = rng.randint(1, 7, n).astype(np.int64)
+    pos = [np.sort(rng.choice(np.arange(1, 1000), t, replace=False)) for t in tfs]
+    cols = {
+        "bucket": np.zeros(n, np.int32),
+        "term_id": terms.astype(np.int64),
+        "doc_id": docs,
+        "doclen": rng.randint(1, 1000, n).astype(np.int64),
+        "tf": tfs,
+        "pos_flat": np.concatenate(pos).astype(np.int64),
+        "pos_len": tfs.copy(),
+    }
+    ref = pa.Table.from_batches([_encode_np(dict(cols), 100.0, np, pa)])
+    for kw in ({"cap_pos": 120}, {"cap_rows": 50}, {"cap_rows": 7, "cap_pos": 11}):
+        parts = list(_frame_chunks(dict(cols), np, **{"cap_rows": 10**9, **kw}))
+        assert len(parts) > 1
+        merged = pa.Table.from_batches([_encode_np(c, 100.0, np, pa) for c in parts])
+        assert merged.to_pydict() == ref.to_pydict(), kw

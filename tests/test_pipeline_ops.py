@@ -424,3 +424,16 @@ def test_persisted_ivf_identical_and_partition_pruned(spark, tmp_path):
     # cold reload answers identically
     again = sorted(tuple(r) for r in IvfIndex.load(spark, root).topk(probes, k=5).collect())
     assert again == got
+
+
+def test_ivf_index_param_change_rebuilds(spark, tmp_path):
+    """Re-building over an existing root with different params must rebuild,
+    not silently serve the old quantizer."""
+    from geocoderpl_spark.plans.ann_index import build_ivf_index
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    root = str(tmp_path / "ivf2")
+    a = build_ivf_index(spark, emb, root, dim=64, n_centroids=8)
+    assert len(a._centroids) == 8
+    b = build_ivf_index(spark, emb, root, dim=64, n_centroids=12)
+    assert len(b._centroids) == 12  # rebuilt, not resumed

@@ -499,3 +499,72 @@ def test_segmented_pruned_hot_term_routes_to_exact(spark, streamed, monkeypatch)
     pruned = sorted(tuple(r) for r in seg.topk_pruned(q).collect())
     assert pruned == exact
     assert any(r[0] == 0 for r in pruned) and any(r[0] == 1 for r in pruned)
+
+
+def test_merge_segments_mixed_generation(spark, tmp_path):
+    """Compaction must handle an LSM root whose segments span the fusion
+    change: one segment's tf checkpoint in the pre-fusion format (no sha256
+    column, no sentinel rows) unioned with a fused-format segment — and the
+    merged index must still answer identically to the segment union."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from geocoderpl_spark.plans.build import build_index
+    from geocoderpl_spark.sources.corpus import synth_corpus
+
+    root = str(tmp_path / "lsm")
+    os.makedirs(root)
+    docs = synth_corpus(spark, 300)
+    ids = docs.select(
+        F.abs(F.xxhash64("path")).alias("doc_id"), "content"
+    ).withColumn("doc_id", F.pmod("doc_id", F.lit(10**6)))
+    for i in range(2):
+        part = ids.filter(F.pmod("doc_id", F.lit(2)) == i)
+        build_index(spark, part, os.path.join(root, f"seg_{i:05d}"),
+                    n_buckets=4, id_col="doc_id", content_col="content")
+
+    # downgrade seg_00000's tf checkpoint to the pre-fusion schema
+    tfdir = os.path.join(root, "seg_00000", "tf")
+    old = (
+        spark.read.parquet(tfdir)
+        .filter(F.col("term").isNotNull())
+        .select("term", "doc_id", "doclen", "tf")
+    )
+    tmp_out = str(tmp_path / "oldtf")
+    old.write.mode("overwrite").parquet(tmp_out)
+    shutil.rmtree(tfdir)
+    shutil.move(tmp_out, tfdir)
+    assert "sha256" not in spark.read.parquet(tfdir).columns
+
+    seg = SegmentedIndex(spark, root)
+    q = spark.createDataFrame(
+        [(0, "term_0001 term_0002", 10)], "query_id long, query_text string, k int"
+    )
+    union = sorted(tuple(r) for r in seg.topk(q).collect())
+    merged = merge_segments(spark, root, str(tmp_path / "one"))
+    one = sorted(tuple(r) for r in merged.topk(q, "exact").collect())
+    assert one == union and len(one) == 10
+
+
+def test_merge_segments_rejects_positional_mix(spark, tmp_path):
+    """Positional + plain segments must fail compaction loudly, not
+    NULL-fill positions into the encode kernel."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from geocoderpl_spark.plans.build import build_index
+    from geocoderpl_spark.sources.corpus import synth_corpus
+
+    root = str(tmp_path / "mix")
+    os.makedirs(root)
+    ids = synth_corpus(spark, 120).select(
+        F.pmod(F.abs(F.xxhash64("path")), F.lit(10**6)).alias("doc_id"), "content"
+    )
+    build_index(spark, ids.filter("doc_id % 2 = 0"), os.path.join(root, "seg_00000"),
+                n_buckets=4, id_col="doc_id", content_col="content")
+    build_index(spark, ids.filter("doc_id % 2 = 1"), os.path.join(root, "seg_00001"),
+                n_buckets=4, id_col="doc_id", content_col="content", positional=True)
+    with pytest.raises(ValueError, match="positional"):
+        merge_segments(spark, root, str(tmp_path / "out"))
