@@ -424,7 +424,12 @@ def build_index(
         tf_full.filter(F.col("term").isNotNull()).drop("sha256") if fused else tf_full
     )
 
-    # stage 2: docstats, derived from the tf checkpoint ----------------------
+    # stages 2 ∥ 3: docstats and terms both depend ONLY on the tf
+    # checkpoint, so they run as CONCURRENT Spark jobs (one thread each —
+    # Spark schedules jobs from multiple threads of one session). This
+    # hides the shorter stage's wall inside the longer one, shaving the
+    # fixed per-build overhead the Amdahl analysis (BASELINE.md) shows is
+    # what actually caps small-build scaling.
     if not _done(p["docstats"]):
         def s2():
             # content-free id assignment: only keys + metadata get cached
@@ -447,13 +452,23 @@ def build_index(
             _unpersist(docs)
             return -1
 
-        timed("docstats", s2)
+        import threading
+
+        s2_err: list[BaseException] = []
+
+        def _s2_thread():
+            try:
+                timed("docstats", s2)
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                s2_err.append(e)
+
+        t2 = threading.Thread(target=_s2_thread, name="build-docstats")
+        t2.start()
     else:
+        t2 = None
         metrics.append(("docstats", -1, 0, "resumed"))
 
-    docstats = spark.read.parquet(p["docstats"])
-
-    # stage 3: term dictionary ---------------------------------------------
+    # stage 3: term dictionary (runs while the docstats thread works) -------
     if not _done(p["terms"]):
         def s3():
             t = build_terms(tf)
@@ -469,6 +484,12 @@ def build_index(
     else:
         metrics.append(("terms", -1, 0, "resumed"))
 
+    if t2 is not None:
+        t2.join()
+        if s2_err:
+            raise s2_err[0]
+
+    docstats = spark.read.parquet(p["docstats"])
     terms = spark.read.parquet(p["terms"])
 
     # stage 4: meta (needed by postings for block-max) ----------------------
