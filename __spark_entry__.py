@@ -741,12 +741,15 @@ _SEG_INDEX_CACHE: dict[str, str] = {}
 def _seg_index_for(spark: SparkSession, sf_dir: str):
     """Three-segment LSM index over the documents table (original doc_ids
     preserved; segments split by doc_id mod 3, disjoint) with a snapshot
-    log — the uncompacted-tail shape the segmented serving path must handle."""
+    log — the uncompacted-tail shape the segmented serving path must handle.
+    Segments are POSITIONAL (r04): one segmented build serves every stream
+    gate — BM25 (positions column-pruned away), filtered, boolean, phrase —
+    mirroring the single-index one-positional-build design."""
     from geocoderpl_spark.streaming.incremental import SegmentedIndex
 
     if sf_dir not in _SEG_INDEX_CACHE:
         root = os.path.join(
-            tempfile.gettempdir(), "graft_segidx_" + sf_dir.strip("/").replace("/", "_")
+            tempfile.gettempdir(), "graft_psegidx_" + sf_dir.strip("/").replace("/", "_")
         )
         fp_file = os.path.join(root, "_corpus_fp")
         fp = _corpus_fp(sf_dir)
@@ -765,7 +768,7 @@ def _seg_index_for(spark: SparkSession, sf_dir: str):
                 name = f"seg_{i:05d}"
                 build_index(
                     spark, part, os.path.join(root, name), n_buckets=16,
-                    id_col="doc_id", content_col="text",
+                    id_col="doc_id", content_col="text", positional=True,
                 )
                 names.append(name)
                 commit_snapshot(root, list(names), op=f"append:{name}")
@@ -782,6 +785,56 @@ def q_stream_topk_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     index, certified by the same BM25 SQL oracle (VERDICT r02 #3)."""
     seg = _seg_index_for(spark, sf_dir)
     return seg.topk_pruned(_bm25_queries_df(spark))
+
+
+def q_stream_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted BM25 over the multi-segment (LSM) index (VERDICT r03 #3):
+    same filter-query semantics as the single-index gate — global stats,
+    doc_id semi-join before scoring — so it shares that gate's oracle."""
+    seg = _seg_index_for(spark, sf_dir)
+    allowed = _docs(spark, sf_dir).filter(F.col("lang") == FILTER_LANG)
+    return seg.topk_filtered(_bm25_queries_df(spark), allowed)
+
+
+def q_stream_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean (must/must_not) search over the multi-segment index
+    (VERDICT r03 #3) — shared _boolean_tail, same oracle as fts_boolean."""
+    seg = _seg_index_for(spark, sf_dir)
+    q = spark.createDataFrame(
+        BOOL_QUERIES, "query_id long, must string, must_not string, k int"
+    )
+    return seg.topk_boolean(q)
+
+
+def q_stream_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search over POSITIONAL LSM segments (VERDICT r03 #4):
+    per-segment occurrence counts (disjoint doc spaces) -> one global top-k
+    window — result-identical to the corpus-scan phrase_match oracle."""
+    seg = _seg_index_for(spark, sf_dir)
+    p = spark.createDataFrame(PHRASE_QUERIES, "query_id long, phrase_text string")
+    return seg.phrase_indexed(p, k=10)
+
+
+def q_fts_bm25_topk_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The driver-side serving tier (VERDICT r03 #6): pinned vocabulary +
+    manifest-selected direct parquet block reads + the same MaxScore kernel
+    in-process — zero Spark jobs per query; certified by the same BM25
+    oracle as the distributed paths."""
+    idx = _pos_index_for(spark, sf_dir)
+    idx.serve()
+    return idx.topk(_bm25_queries_df(spark), mode="pruned")
+
+
+def q_fts_autocomplete_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve-mode autocomplete (VERDICT r03 #7): prefix expansion via a
+    driver-side bisect over the pinned sorted vocabulary — no dictionary
+    Spark job; same oracle as the distributed expansion."""
+    idx = _pos_index_for(spark, sf_dir)
+    idx.serve()
+    q = spark.createDataFrame(
+        AUTOCOMPLETE_QUERIES, "query_id long, query_text string, k int"
+    )
+    return idx.autocomplete(q, max_expansions=AUTOCOMPLETE_MAX_EXP)
 
 
 def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -891,6 +944,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_windowed_rollup": q_stream_windowed_rollup,
         "stream_sessionize": q_stream_sessionize,
         "stream_topk_pruned": q_stream_topk_pruned,
+        "stream_filtered_topk": q_stream_filtered_topk,
+        "stream_boolean": q_stream_boolean,
+        "stream_phrase_indexed": q_stream_phrase_indexed,
+        "fts_bm25_topk_served": q_fts_bm25_topk_served,
+        "fts_autocomplete_serve": q_fts_autocomplete_serve,
         "mm_frame_sample": q_mm_frame_sample,
         "mm_decode_features": q_mm_decode_features,
         "mm_decode_real": q_mm_decode_real,
@@ -909,8 +967,13 @@ def oracle_sql() -> dict[str, str]:
         # single-index build by construction -> same oracle
         "stream_topk_pruned": _BM25_CORE + _BM25_FINAL,
         "fts_bm25_topk_indexed": _BM25_CORE + _BM25_FINAL,
+        # driver-side serving tier: same kernel, same results, same oracle
+        "fts_bm25_topk_served": _BM25_CORE + _BM25_FINAL,
         "fts_filtered_topk": _BM25_CORE + _BM25_FILTERED_FINAL.format(lang=FILTER_LANG),
+        # segmented filtered/boolean share the single-index oracles verbatim
+        "stream_filtered_topk": _BM25_CORE + _BM25_FILTERED_FINAL.format(lang=FILTER_LANG),
         "fts_boolean": _boolean_oracle(),
+        "stream_boolean": _boolean_oracle(),
         "fts_snippets": _BM25_CORE + _SNIPPETS_FINAL.format(toks=_duck_toks("query_text")),
         "fts_bm25_topk_docs": _BM25_CORE + _BM25_DOCS_FINAL,
         "fts_autocomplete": _autocomplete_oracle(),
@@ -1352,6 +1415,10 @@ FROM m
     # the indexed phrase path is result-identical to the corpus scan by
     # construction — one oracle serves both gates
     d["fts_phrase_indexed"] = d["fts_phrase_match"]
+    # segmented positional phrase search is result-identical to the corpus
+    # scan; serve-mode autocomplete to the distributed expansion
+    d["stream_phrase_indexed"] = d["fts_phrase_match"]
+    d["fts_autocomplete_serve"] = d["fts_autocomplete"]
     # persisted IVF = same quantizer + rerank as the one-shot operator
     d["ann_ivf_persisted"] = d["ann_ivf_topk"]
     return d

@@ -807,21 +807,36 @@ def build_postings(
         g, n_groups = bucket_mod
         keyed = keyed.filter(F.pmod(F.col("bucket"), F.lit(n_groups)) == g)
     pos_cols = ["positions"] if positional else []
-    keyed = (
-        keyed.withColumn("slice", (F.col("doc_id") / F.lit(slice_docs)).cast("long"))
-        .select("bucket", "slice", "term_id", "doc_id", "doclen", "tf", *pos_cols)
-        .repartition(partitions, "bucket", "slice")
-        .sortWithinPartitions("bucket", "slice", "term_id", "doc_id")
-    )
-    # int32 tf/doclen for the JVM->Python Arrow transfer (measured -16% on
-    # the kernel stage: the IPC round-trip is bandwidth-bound). Safe: doclen
-    # is bounded by the 2 GB string limit (< 2^31 tokens); tf <= doclen.
-    # The kernel upcasts to int64 before any arithmetic.
-    narrow = keyed.select(
-        "bucket", "term_id", "doc_id",
-        F.col("doclen").cast("int").alias("doclen"),
-        F.col("tf").cast("int").alias("tf"),
-        *pos_cols,
+    # int32 tf/doclen BEFORE the exchange, and the slice key as an
+    # EXPRESSION rather than a materialized column: the posting shuffle is
+    # the build's biggest data movement (~40 B/row at 10^8+ rows), and it is
+    # DRAM-bandwidth-bound — the r4 1M-doc scaling study measured the
+    # postings stage at 0.45 efficiency 2->8 while the compute stages ran
+    # 0.68-0.73. Narrowing the shuffled row (no slice column, int32 tf/dl)
+    # cuts exchange bytes ~40%, which is the lever that actually moves a
+    # bandwidth-bound stage. (The same int32 cast also measured -16% on the
+    # JVM->Python Arrow IPC. Safe: doclen < 2^31 tokens by the 2 GB string
+    # limit; tf <= doclen; the kernel upcasts to int64 before arithmetic.)
+    # Hash-partition assignment is over the same (bucket, slice) VALUES, so
+    # block boundaries — and resume byte-identity — are unchanged.
+    slice_col = (F.col("doc_id") / F.lit(slice_docs)).cast("long")
+    narrow = (
+        keyed.select(
+            "bucket", "term_id", "doc_id",
+            F.col("doclen").cast("int").alias("doclen"),
+            F.col("tf").cast("int").alias("tf"),
+            *pos_cols,
+        )
+        .repartition(partitions, F.col("bucket"), slice_col)
+        # sort on (slice, term_id, doc_id): slice MUST stay in the key — a
+        # term's non-adjacent slices can hash to the same partition, and
+        # without the slice major they would merge into one run whose blocks
+        # span doc ranges held by OTHER partitions, breaking the per-term
+        # disjoint-block-range invariant (J7) that block-max pruning's
+        # bookkeeping documents. bucket is dropped: the encoder splits
+        # frames on term_id change-points and carries bucket per row, so a
+        # bucket-major order adds a 4th comparison key for nothing.
+        .sortWithinPartitions(slice_col, F.col("term_id"), F.col("doc_id"))
     )
     schema = POSTINGS_POS_SCHEMA if positional else POSTINGS_SCHEMA
     import os as _os

@@ -117,6 +117,7 @@ def snippets(
     width: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_collect_hits: int = 100_000,
 ) -> DataFrame:
     """Search-result snippets (hit highlighting): for each top-k hit, the
     1-based position of the FIRST occurrence of any query term in the doc's
@@ -139,33 +140,49 @@ def snippets(
     )
     # collect the (metadata-sized) hit set ONCE — the hits argument is
     # typically a full topk pipeline, and referencing it lazily in the join
-    # below would re-execute that whole pipeline a second time
-    hit_rows = hits.select("query_id", "doc_id", "rank").collect()
+    # below would re-execute that whole pipeline a second time. The collect
+    # is size-guarded (ADVICE r03): past ``max_collect_hits`` rows nothing
+    # is staged on the driver — the plan falls back to lazy doc_id joins
+    # (batch regime; persist ``hits`` in that regime, it executes twice).
+    hit_rows = (
+        hits.select("query_id", "doc_id", "rank")
+        .limit(max_collect_hits + 1)
+        .collect()
+    )
     if not hit_rows:
         return docs.sparkSession.createDataFrame(
             [], "query_id long, doc_id long, rank int, first_pos long, snippet string"
         )
-    hit_ids = sorted({r["doc_id"] for r in hit_rows})
-    hits = docs.sparkSession.createDataFrame(
-        [(r["query_id"], r["doc_id"], r["rank"]) for r in hit_rows],
-        "query_id long, doc_id long, rank int",
-    )
-    if len(hit_ids) <= 10_000:
-        fetched = docs.filter(F.col(id_col).isin(hit_ids))
-    else:
-        # huge hit batches: a literal In() of 10^5+ ids bloats the plan —
-        # broadcast-semi-join the id set instead (same rows, no pushdown)
-        ids_df = docs.sparkSession.createDataFrame(
-            [(i,) for i in hit_ids], f"{id_col} long"
+    if len(hit_rows) <= max_collect_hits:
+        hit_ids = sorted({r["doc_id"] for r in hit_rows})
+        hits = docs.sparkSession.createDataFrame(
+            [(r["query_id"], r["doc_id"], r["rank"]) for r in hit_rows],
+            "query_id long, doc_id long, rank int",
         )
-        fetched = docs.join(F.broadcast(ids_df), id_col, "left_semi")
+        if len(hit_ids) <= 10_000:
+            fetched = docs.filter(F.col(id_col).isin(hit_ids))
+        else:
+            # mid-size batches: a literal In() of 10^5+ ids bloats the plan —
+            # broadcast-semi-join the id set instead (same rows, no pushdown)
+            ids_df = docs.sparkSession.createDataFrame(
+                [(i,) for i in hit_ids], f"{id_col} long"
+            )
+            fetched = docs.join(F.broadcast(ids_df), id_col, "left_semi")
+        joined_hits = F.broadcast(
+            hits.select("query_id", "doc_id", "rank").join(qt, "query_id")
+        )
+    else:
+        hits = hits.select("query_id", "doc_id", "rank")
+        fetched = docs.join(
+            hits.select(F.col("doc_id").alias(id_col)).distinct(), id_col, "left_semi"
+        )
+        # no broadcast hint: the hit set exceeded the driver guard, so let
+        # AQE pick the join strategy from its actual size
+        joined_hits = hits.join(qt, "query_id")
     cand = fetched.select(
         F.col(id_col).alias("doc_id"), tokenize(text_col).alias("toks")
     )
-    j = cand.join(
-        F.broadcast(hits.select("query_id", "doc_id", "rank").join(qt, "query_id")),
-        "doc_id",
-    )
+    j = cand.join(joined_hits, "doc_id")
     # first matched position: array_position yields 0 when absent — filter
     # those out; a BM25 hit always contains >= 1 query term, so min exists
     p = F.array_min(

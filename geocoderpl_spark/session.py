@@ -29,8 +29,13 @@ def get_spark(
     """
     cpus = cpus or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or max(cpus, 8)
+    # GRAFT_MASTER overrides the master URL — e.g. local-cluster[8,1,6144]
+    # for the multi-executor (separate JVM per executor) scaling rendition;
+    # {cpus} in the template is substituted. Executors then need PYTHONPATH
+    # to reach the package (same box, no --py-files ship).
+    master = os.environ.get("GRAFT_MASTER", "local[{cpus}]").format(cpus=cpus)
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -46,6 +51,16 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if "local-cluster" in master:
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        builder = (
+            builder.config("spark.executorEnv.PYTHONPATH", repo_root)
+            # the master URL's third field is WORKER memory; executor memory
+            # stays at the 1g default unless set — leaving it there causes
+            # silent executor OOM-churn (task retries on fresh executors)
+            .config("spark.executor.memory",
+                    os.environ.get("GRAFT_EXECUTOR_MEM", "5g"))
+        )
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

@@ -24,12 +24,6 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.topk import (
-    SCORE_DECIMALS,
-    _topk_window,
-    gate_terms,
-    tokenize_queries,
-)
 from ..plans.build import InvertedIndex, build_index
 
 
@@ -109,44 +103,213 @@ class SegmentedIndex:
             u = u.unionByName(d)
         return u.groupBy("term").agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
 
-    def topk(self, queries: DataFrame, segs: list[InvertedIndex] | None = None) -> DataFrame:
-        """Exact BM25 over the segment union — rank-identical to a
-        from-scratch single-index build on the same docs. ``segs`` lets a
-        caller that already enumerated the live segments (one listdir +
-        meta read per segment) reuse them instead of re-enumerating."""
-        from ..functions.bm25 import tfnorm_col
+    # ---- shared query-side machinery --------------------------------------
+
+    def _collect_qterms(self, queries: DataFrame) -> list[tuple[int, int, str, int]]:
+        """Driver-side tokenization of a (metadata-sized) query batch:
+        [(query_id, k, term, qtf)]."""
+        from ..functions.tokenize import tokenize_py
+
+        out: list[tuple[int, int, str, int]] = []
+        for q in queries.collect():
+            counts: dict[str, int] = {}
+            for t in tokenize_py(q["query_text"]):
+                counts[t] = counts.get(t, 0) + 1
+            out.extend((q["query_id"], int(q["k"]), t, c) for t, c in counts.items())
+        return out
+
+    def _probe_terms(
+        self, segs: list[InvertedIndex], terms_set
+    ) -> tuple[list[list], dict[str, int]]:
+        """Probe every segment's dictionary for the query terms in ONE Spark
+        job (a union of tiny broadcast joins tagged by segment ordinal).
+        Returns (seg_hits, gdf): per-segment dictionary rows and the global
+        df per term (per-segment df sums exactly to corpus df)."""
+        probe = self.spark.createDataFrame(
+            [(t,) for t in sorted(terms_set)], "term string"
+        )
+        probed = None
+        for i, s in enumerate(segs):
+            p = s.terms.join(F.broadcast(probe), "term").select(
+                F.lit(i).alias("seg"), "term", "term_id", "df"
+            )
+            probed = p if probed is None else probed.unionByName(p)
+        seg_hits: list[list] = [[] for _ in segs]
+        gdf: dict[str, int] = {}
+        for r in probed.collect():
+            seg_hits[r["seg"]].append(r)
+            gdf[r["term"]] = gdf.get(r["term"], 0) + r["df"]
+        return seg_hits, gdf
+
+    @staticmethod
+    def _idf(gdf: dict[str, int], n_docs: int) -> dict[str, float]:
+        import math
+
+        return {
+            t: math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+            for t, df in gdf.items()
+        }
+
+    def _decoded_rows(
+        self,
+        segs: list[InvertedIndex],
+        seg_hits: list[list],
+        gid: dict[str, int],
+    ) -> DataFrame | None:
+        """Union of per-segment literal-pruned DECODED posting rows
+        (term_id, doc_id, tf, doclen), term_id remapped to the global query
+        ordinal ``gid``. Each segment's scan goes through its own file
+        manifest when present (VERDICT r03 #5) — term_ids -> file list with
+        no directory listing per segment per query. Doc spaces are disjoint
+        (per-segment doc_base), so the union IS the merged-index row set."""
         from ..operators.postings import decode_postings
+        from ..operators.topk import _pruned_scan
+
+        rows = None
+        for s, hits in zip(segs, seg_hits):
+            tid2gid = [(r["term_id"], gid[r["term"]]) for r in hits if r["term"] in gid]
+            if not tid2gid:
+                continue
+            remap = F.broadcast(
+                self.spark.createDataFrame(tid2gid, "term_id long, gid long")
+            )
+            tids = [t for t, _ in tid2gid]
+            scan = s._manifest_scan()
+            base = scan(tids) if scan else _pruned_scan(s.postings, tids, s.n_buckets)
+            r = (
+                decode_postings(base.drop("poss"))
+                .join(remap, "term_id")
+                .select(F.col("gid").alias("term_id"), "doc_id", "tf", "doclen")
+            )
+            rows = r if rows is None else rows.unionByName(r)
+        return rows
+
+    def topk(
+        self,
+        queries: DataFrame,
+        segs: list[InvertedIndex] | None = None,
+        allowed_docs: DataFrame | None = None,
+    ) -> DataFrame:
+        """Exact BM25 over the segment union — rank-identical to a
+        from-scratch single-index build on the same docs: global N/avgdl/df,
+        per-segment manifest-pruned scans remapped to global term ordinals,
+        one shared scoring tail (``_score_rows``). ``segs`` lets a caller
+        that already enumerated the live segments reuse them."""
+        from ..operators.topk import TOPK_SCHEMA, _score_rows
 
         segs = self.segments() if segs is None else segs
         if not segs:  # empty index root -> empty result, not AttributeError
-            from ..operators.topk import TOPK_SCHEMA
-
             return self.spark.createDataFrame([], TOPK_SCHEMA)
         n_docs, avgdl = self.global_stats(segs)
-        gterms = self.terms_union(segs)
-        qterms = tokenize_queries(queries)
-        gated = gate_terms(
-            qterms, gterms.withColumn("term_id", F.lit(0)), n_docs
-        ).drop("term_id")
-        rows = None
-        for s in segs:
-            tids = F.broadcast(
-                s.terms.join(gated.select("term").distinct(), "term").select("term", "term_id")
-            )
-            r = decode_postings(s.postings.join(tids.select("term_id"), "term_id")).join(
-                tids, "term_id"
-            )
-            rows = r if rows is None else rows.unionByName(r)
-        scored = (
-            rows.join(F.broadcast(gated), "term")
-            .withColumn(
-                "contrib",
-                F.col("qtf") * F.col("idf") * tfnorm_col(F.col("tf"), F.col("doclen"), avgdl),
-            )
-            .groupBy("query_id", "k", "doc_id")
-            .agg(F.round(F.sum("contrib"), SCORE_DECIMALS).alias("score"))
+        qterms = self._collect_qterms(queries)
+        terms_set = {t for _, _, t, _ in qterms}
+        if not terms_set:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        seg_hits, gdf = self._probe_terms(segs, terms_set)
+        gid = {t: i for i, t in enumerate(sorted(gdf))}
+        idf = self._idf(gdf, n_docs)
+        gated_rows = [
+            (qid, k, gid[t], qtf, idf[t]) for qid, k, t, qtf in qterms if t in gid
+        ]
+        if not gated_rows:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        gated = self.spark.createDataFrame(
+            gated_rows, "query_id long, k int, term_id long, qtf long, idf double"
         )
-        return _topk_window(scored)
+        rows = self._decoded_rows(segs, seg_hits, gid)
+        return _score_rows(rows, gated, avgdl, allowed_docs=allowed_docs)
+
+    def topk_filtered(
+        self,
+        queries: DataFrame,
+        allowed_docs: DataFrame,
+        segs: list[InvertedIndex] | None = None,
+    ) -> DataFrame:
+        """Faceted segmented search — same semantics as the single-index
+        ``query_topk_filtered``: the metadata filter restricts candidates
+        via a doc_id semi-join BEFORE scoring, while N/avgdl/df stay global
+        (filter-query semantics; scores comparable across filters)."""
+        return self.topk(queries, segs=segs, allowed_docs=allowed_docs)
+
+    def topk_boolean(
+        self, queries: DataFrame, allowed_docs: DataFrame | None = None
+    ) -> DataFrame:
+        """Boolean (must/must_not) search over the segment union — same
+        semantics as the single-index ``query_topk_boolean``, via the shared
+        ``_boolean_tail`` over globally-remapped decoded rows. queries:
+        (query_id, must string, must_not string, k)."""
+        from ..functions.tokenize import tokenize_py
+        from ..operators.topk import TOPK_SCHEMA, _boolean_tail
+
+        segs = self.segments()
+        if not segs:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        n_docs, avgdl = self.global_stats(segs)
+        must_rows: list[tuple] = []
+        neg_rows: list[tuple] = []
+        need_rows: list[tuple] = []
+        for q in queries.collect():
+            mcounts: dict[str, int] = {}
+            for t in tokenize_py(q["must"] or ""):
+                mcounts[t] = mcounts.get(t, 0) + 1
+            if mcounts:
+                # distinct must-token count BEFORE the dictionary gate: an
+                # unknown must term kills its query, never relaxes the AND
+                need_rows.append((q["query_id"], len(mcounts)))
+            must_rows.extend(
+                (q["query_id"], int(q["k"]), t, c) for t, c in mcounts.items()
+            )
+            nset = sorted(set(tokenize_py(q["must_not"] or "")))
+            neg_rows.extend((q["query_id"], int(q["k"]), t) for t in nset)
+        if not need_rows:  # every query had an empty must -> nothing matches
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        terms_set = {t for _, _, t, _ in must_rows} | {t for _, _, t in neg_rows}
+        seg_hits, gdf = self._probe_terms(segs, terms_set)
+        gid = {t: i for i, t in enumerate(sorted(gdf))}
+        idf = self._idf(gdf, n_docs)
+        gated_all_rows = [
+            (qid, k, gid[t], qtf, idf[t], False)
+            for qid, k, t, qtf in must_rows
+            if t in gid
+        ] + [
+            (qid, k, gid[t], None, None, True)
+            for qid, k, t in neg_rows
+            if t in gid
+        ]
+        if not gated_all_rows:
+            return self.spark.createDataFrame([], TOPK_SCHEMA)
+        gated_all = self.spark.createDataFrame(
+            gated_all_rows,
+            "query_id long, k int, term_id long, qtf long, idf double, is_neg boolean",
+        )
+        need = F.broadcast(
+            self.spark.createDataFrame(need_rows, "query_id long, n_must long")
+        )
+        rows = self._decoded_rows(segs, seg_hits, gid)
+        return _boolean_tail(rows, gated_all, need, avgdl, allowed_docs=allowed_docs)
+
+    def phrase_indexed(self, phrases: DataFrame, k: int = 10) -> DataFrame:
+        """Exact phrase search over a POSITIONAL segmented index: per-segment
+        occurrence counts unioned, then ONE global top-k window. Doc spaces
+        are disjoint, so per-segment counts ARE the global counts; and a
+        segment whose dictionary lacks a phrase token contributes no docs —
+        exactly the docs a merged index would also reject (no doc there can
+        contain the full sequence). Result-identical to
+        ``query_phrase_indexed`` on a merged positional index."""
+        from ..operators.topk import _phrase_hits, _phrase_window
+
+        hits = None
+        for s in self.segments():
+            h = _phrase_hits(
+                s.postings, s.terms, phrases, s.n_buckets, scan=s._manifest_scan()
+            )
+            if h is not None:
+                hits = h if hits is None else hits.unionByName(h)
+        if hits is None:
+            return self.spark.createDataFrame(
+                [], "query_id long, rank int, doc_id long, n_matches int"
+            )
+        return _phrase_window(hits, k)
 
     def topk_pruned(self, queries: DataFrame) -> DataFrame:
         """Serving-grade segmented top-k (VERDICT r02 #3): per-segment
@@ -171,9 +334,6 @@ class SegmentedIndex:
         Hot-term queries (global df past the serving cap) route to the exact
         distributed path, same as the single-index serving plan.
         """
-        import math
-
-        from ..functions.tokenize import tokenize_py
         from ..operators.topk import (
             TOPK_SCHEMA,
             _hot_df_threshold,
@@ -187,36 +347,16 @@ class SegmentedIndex:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
         n_docs, avgdl_g = self.global_stats(segs)
 
-        qrows = queries.collect()  # the query batch is metadata-sized
-        qterms: list[tuple[int, int, str, int]] = []  # (query_id, k, term, qtf)
-        for q in qrows:
-            counts: dict[str, int] = {}
-            for t in tokenize_py(q["query_text"]):
-                counts[t] = counts.get(t, 0) + 1
-            qterms.extend((q["query_id"], int(q["k"]), t, c) for t, c in counts.items())
-        terms_set = sorted({t for _, _, t, _ in qterms})
+        qterms = self._collect_qterms(queries)
+        terms_set = {t for _, _, t, _ in qterms}
         if not terms_set:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
-        probe = self.spark.createDataFrame([(t,) for t in terms_set], "term string")
         # dictionary probes for ALL segments in ONE job (a union of tiny
         # broadcast joins, tagged by segment ordinal) — serving latency pays
         # per-job scheduling, not per-segment
-        probed = None
-        for i, s in enumerate(segs):
-            p = s.terms.join(F.broadcast(probe), "term").select(
-                F.lit(i).alias("seg"), "term", "term_id", "df"
-            )
-            probed = p if probed is None else probed.unionByName(p)
-        seg_hits: list[list] = [[] for _ in segs]
-        gdf: dict[str, int] = {}
-        for r in probed.collect():
-            seg_hits[r["seg"]].append(r)
-            gdf[r["term"]] = gdf.get(r["term"], 0) + r["df"]
+        seg_hits, gdf = self._probe_terms(segs, terms_set)
         gid = {t: i for i, t in enumerate(sorted(gdf))}
-        idf = {
-            t: math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-            for t, df in gdf.items()
-        }
+        idf = self._idf(gdf, n_docs)
         hot_df = _hot_df_threshold(MAX_BLOCKS_PER_TERM)
         hot_qids = {
             qid for qid, _, t, _ in qterms if gdf.get(t, 0) > hot_df
@@ -242,8 +382,12 @@ class SegmentedIndex:
                     tid2gid, "term_id long, gid long"
                 ))
                 scale = max(1.0, avgdl_g / s.avgdl) if s.avgdl else 1.0
+                stids = [t for t, _ in tid2gid]
+                # per-segment file manifest (written at seal time) replaces
+                # the directory-listing scan (VERDICT r03 #5)
+                mscan = s._manifest_scan()
                 c = (
-                    _pruned_scan(s.postings, [t for t, _ in tid2gid], s.n_buckets)
+                    (mscan(stids) if mscan else _pruned_scan(s.postings, stids, s.n_buckets))
                     .drop("poss")
                     .join(remap, "term_id")
                     .select(
@@ -280,8 +424,14 @@ def start_incremental_indexer(
     n_buckets: int = 16,
     max_files_per_trigger: int | None = None,
     compact_threshold: int | None = None,
+    positional: bool = False,
 ):
     """readStream over ``stream_dir`` -> one index segment per micro-batch.
+
+    ``positional=True`` builds phrase-capable segments (position streams in
+    every segment, VERDICT r03 #4) — query them with
+    :meth:`SegmentedIndex.phrase_indexed`; compaction preserves the
+    positional property (``merge_segments`` self-detects it).
 
     ``compact_threshold``: auto-compaction pressure — after each micro-batch,
     if more than this many live segments exist they are merged into one
@@ -307,12 +457,12 @@ def start_incremental_indexer(
             )
             build_index(
                 spark, docs, seg_dir, n_buckets=n_buckets,
-                id_col="doc_id", content_col=content_col,
+                id_col="doc_id", content_col=content_col, positional=positional,
             )
         else:
             build_index(
                 spark, batch, seg_dir, n_buckets=n_buckets,
-                id_col=id_col, content_col=content_col,
+                id_col=id_col, content_col=content_col, positional=positional,
             )
         from ..plans.snapshots import commit_snapshot
 
@@ -439,6 +589,7 @@ def merge_segments(spark: SparkSession, index_root: str, out_dir: str, n_buckets
             "non-positional segments — rebuild the plain segments with "
             "positional=True (or vice versa) first"
         )
+    positional = pos_kinds.pop()
     for s in segs:
         t = spark.read.parquet(os.path.join(s.root, "tf"))
         d = s.docstats
@@ -452,6 +603,12 @@ def merge_segments(spark: SparkSession, index_root: str, out_dir: str, n_buckets
     os.makedirs(out_dir, exist_ok=True)
     stats.write.mode("overwrite").parquet(os.path.join(out_dir, "docstats"))
     tf.write.mode("overwrite").parquet(os.path.join(out_dir, "tf"))
-    # delegate the rest to the batch plan (terms/postings/meta/lineage)
+    # delegate the rest to the batch plan (terms/postings/meta/lineage);
+    # positional carries through: build_postings sniffs the positions column
+    # in the unioned tf, and meta.json must record the property so the
+    # merged segment keeps serving phrase queries
     dummy = spark.createDataFrame([], "doc_id long, content string")
-    return build_index(spark, dummy, out_dir, n_buckets=n_buckets, id_col="doc_id")
+    return build_index(
+        spark, dummy, out_dir, n_buckets=n_buckets, id_col="doc_id",
+        positional=positional,
+    )

@@ -1,0 +1,327 @@
+"""Round-4 serving-tier + segmented-feature tests (VERDICT r03 #2,#3,#4,#6,#7):
+
+- persisted-IVF probe fetch is pruned (id-sorted sidecar, executed-file
+  evidence) and accepts caller-supplied probe vectors
+- driver-side topk serving (manifest + direct parquet + same kernel) is
+  rank-identical to the Spark paths and runs zero Spark jobs
+- serve-mode autocomplete expands driver-side (no dictionary scan at all)
+- segmented filtered/boolean/phrase queries equal their single-index twins
+- positional streaming segments serve phrase search, through compaction
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from geocoderpl_spark.plans.build import build_index
+from geocoderpl_spark.sources.corpus import synth_corpus
+
+N_DOCS = 500
+
+
+@pytest.fixture(scope="module")
+def sidx(spark, tmp_path_factory):
+    """Positional single index over an explicit-doc_id corpus + the same
+    corpus as a DataFrame (doc_id, content)."""
+    out = str(tmp_path_factory.mktemp("sidx"))
+    docs = (
+        synth_corpus(spark, N_DOCS)
+        .withColumn("doc_id", F.xxhash64("path"))  # arbitrary unique ids
+        .select("doc_id", "content")
+        .cache()
+    )
+    idx = build_index(spark, docs, out, n_buckets=8, partitions=8,
+                      id_col="doc_id", positional=True)
+    return idx, docs
+
+
+@pytest.fixture(scope="module")
+def segidx(spark, sidx, tmp_path_factory):
+    """The SAME corpus split into 3 positional segments (doc_id mod 3) —
+    doc spaces align with the single index, so results are comparable."""
+    from geocoderpl_spark.streaming.incremental import SegmentedIndex
+
+    _, docs = sidx
+    root = str(tmp_path_factory.mktemp("segidx"))
+    for i in range(3):
+        part = docs.filter(F.pmod("doc_id", F.lit(3)) == i)
+        build_index(spark, part, os.path.join(root, f"seg_{i:05d}"),
+                    n_buckets=8, partitions=8, id_col="doc_id", positional=True)
+    return SegmentedIndex(spark, root)
+
+
+QUERIES = [
+    (0, "term_0001 term_0002", 10),
+    (1, "the_hot_term term_0500", 10),
+    (2, "camelCaseFoo", 5),
+    (3, "totally_unknown_term", 10),
+    (4, "term_4999 term_0003", 10),
+]
+
+
+def _qdf(spark):
+    return spark.createDataFrame(QUERIES, "query_id long, query_text string, k int")
+
+
+# ---------------------------------------------------------------------------
+# IVF probe-fetch pruning
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_probe_fetch_pruned(spark, tmp_path):
+    from geocoderpl_spark.plans.ann_index import build_ivf_index
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = build_ivf_index(spark, emb, str(tmp_path / "ivf"), dim=64)
+    ids = idx.ids
+    assert ids is not None, "id-sorted sidecar missing"
+
+    probes = [0, 1, 2, 3, 4]
+    # executed-file evidence (inputFiles() ignores pushdown): the probe
+    # fetch reads ONLY sidecar files, and only the ones whose sorted id
+    # range covers the probes — never the list_id partition dirs
+    scan = ids.filter(F.col("vec_id").isin(probes))
+    opened = {r[0] for r in scan.select(F.input_file_name()).distinct().collect()}
+    assert opened and all("/ids/" in f for f in opened)
+    assert not any("list_id=" in f for f in opened)
+    all_files = {r[0] for r in ids.select(F.input_file_name()).distinct().collect()}
+    if len(all_files) > 1:  # sorted layout -> low ids live in few files
+        assert len(opened) < len(all_files)
+
+    # _fetch_probes goes through the sidecar and returns the right vectors
+    got = idx._fetch_probes(probes)
+    want = {r["vec_id"]: list(r["embedding"]) for r in
+            emb.filter(F.col("vec_id").isin(probes)).collect()}
+    assert got == want
+
+    # caller-supplied probe vectors skip the fetch and match the fetch path
+    a = sorted(tuple(r) for r in idx.topk(probes, k=5).collect())
+    b = sorted(tuple(r) for r in idx.topk(probes, k=5, probe_vecs=want).collect())
+    assert a == b and len(a) == 25
+
+
+# ---------------------------------------------------------------------------
+# driver-side serving tier
+# ---------------------------------------------------------------------------
+
+
+def test_topk_local_rank_identical_and_jobless(spark, sidx):
+    from geocoderpl_spark.operators.topk import MAX_BLOCKS_PER_TERM, _hot_df_threshold
+    from geocoderpl_spark.plans.serving import topk_local
+
+    idx, _ = sidx
+    idx.serve()
+    assert idx._local_reader is not None, "manifest-backed local reader missing"
+
+    exact = (
+        idx.topk(_qdf(spark), mode="exact")
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    served = (
+        idx.topk(_qdf(spark), mode="pruned")
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert served.equals(exact)
+
+    # the local computation itself runs ZERO Spark jobs
+    qrows = _qdf(spark).collect()
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    res, spark_qids = topk_local(
+        idx._local_reader, qrows, idx._term_lookup, idx.n_docs, idx.avgdl,
+        _hot_df_threshold(MAX_BLOCKS_PER_TERM),
+    )
+    after = tracker.getJobIdsForGroup(None)
+    assert list(before) == list(after), "local serving ran a Spark job"
+    assert spark_qids == []  # nothing hot in this corpus at the default cap
+    got = res.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert list(got.doc_id) == list(exact.doc_id)
+    assert list(got.score) == list(exact.score)
+
+
+def test_topk_local_hot_routes_to_spark(spark, sidx):
+    """A term whose df exceeds the serving cap must route its query to the
+    distributed path — and the end-to-end result stays rank-identical."""
+    idx, _ = sidx
+    idx.serve()
+    exact = (
+        idx.topk(_qdf(spark), mode="exact")
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    from geocoderpl_spark.plans.serving import topk_local
+
+    res, spark_qids = topk_local(
+        idx._local_reader, _qdf(spark).collect(), idx._term_lookup,
+        idx.n_docs, idx.avgdl, hot_df=10,  # absurdly low cap: everything hot
+    )
+    assert len(res) == 0
+    assert set(spark_qids) == {0, 1, 2, 4}  # qid 3 is all-unknown -> empty
+
+    served = (
+        idx.topk(_qdf(spark), mode="pruned")
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert served.equals(exact)
+
+
+def test_autocomplete_serve_mode_no_dictionary_scan(spark, sidx):
+    """Serve-mode autocomplete must never touch the terms table: passing
+    terms=None proves the expansion+gate are fully driver-side, and results
+    equal the distributed pushed-range expansion."""
+    from geocoderpl_spark.operators.topk import query_topk_autocomplete
+
+    idx, _ = sidx
+    idx.serve()
+    assert idx._sorted_terms is not None
+    q = spark.createDataFrame(
+        [(0, "term_00", 10), (1, "term_0001 camelCase", 10),
+         (2, "term_0001 ", 10), (3, "zzz_nothing", 5)],
+        "query_id long, query_text string, k int",
+    )
+    dist = query_topk_autocomplete(
+        idx.postings, idx.terms, q, idx.n_docs, idx.avgdl,
+        n_buckets=idx.n_buckets, max_expansions=5,
+    ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    local = query_topk_autocomplete(
+        idx.postings, None, q, idx.n_docs, idx.avgdl,
+        n_buckets=idx.n_buckets, max_expansions=5,
+        sorted_terms=idx._sorted_terms, term_lookup=idx._term_lookup,
+    ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert local.equals(dist)
+    # and via the index API
+    api = idx.autocomplete(q, max_expansions=5).toPandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    assert api.equals(dist)
+
+
+# ---------------------------------------------------------------------------
+# segmented feature parity
+# ---------------------------------------------------------------------------
+
+
+def test_segments_have_manifests(segidx):
+    for s in segidx.segments():
+        assert s._manifest_scan() is not None, f"segment {s.root} lacks a manifest"
+
+
+def test_segmented_topk_filtered_matches_single(spark, sidx, segidx):
+    idx, docs = sidx
+    # facet: doc_id odd (a metadata predicate over the doc space)
+    allowed = docs.select("doc_id").filter(F.pmod("doc_id", F.lit(2)) == 1)
+    single = idx.topk_filtered(_qdf(spark), allowed).toPandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    seg = segidx.topk_filtered(_qdf(spark), allowed).toPandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    assert seg.equals(single)
+    assert len(single) > 0
+
+
+BOOL_QUERIES = [
+    (0, "term_0001 term_0002", "the_hot_term", 10),
+    (1, "the_hot_term", "", 10),
+    (2, "term_0001 zz_unknown", "", 10),   # unknown must -> unsatisfiable
+    (3, "", "term_0001", 5),               # empty must -> 0 rows
+    (4, "camelCaseFoo term_0003", "term_4999 zz_unknown", 10),
+]
+
+
+def test_segmented_boolean_matches_single(spark, sidx, segidx):
+    idx, _ = sidx
+    q = spark.createDataFrame(
+        BOOL_QUERIES, "query_id long, must string, must_not string, k int"
+    )
+    single = idx.topk_boolean(q).toPandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    seg = segidx.topk_boolean(q).toPandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    assert seg.equals(single)
+    assert len(single) > 0
+    assert not set(single.query_id) & {2, 3}  # unsatisfiable/empty musts
+
+
+def test_segmented_phrase_matches_single(spark, sidx, segidx):
+    from geocoderpl_spark.operators.topk import query_phrase_indexed
+
+    idx, _ = sidx
+    p = spark.createDataFrame(
+        [(0, "term_0001 term_0002"), (1, "the_hot_term the_hot_term"),
+         (2, "camelCaseFoo"), (3, "term_0001 zz_unknown")],
+        "query_id long, phrase_text string",
+    )
+    single = query_phrase_indexed(
+        idx.postings, idx.terms, p, n_buckets=idx.n_buckets, k=10
+    ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    seg = segidx.phrase_indexed(p, k=10).toPandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    assert seg.equals(single)
+    assert len(single) > 0
+
+
+# ---------------------------------------------------------------------------
+# positional streaming segments (build -> phrase -> compaction)
+# ---------------------------------------------------------------------------
+
+
+def test_positional_streaming_segments(spark, tmp_path):
+    from geocoderpl_spark.operators.textstats import phrase_match
+    from geocoderpl_spark.streaming.incremental import (
+        SegmentedIndex,
+        compact_segments,
+        start_incremental_indexer,
+    )
+
+    schema = ("repo string, path string, commit string, lang string, "
+              "content string, sha256 string")
+    stream_dir, index_root = str(tmp_path / "in"), str(tmp_path / "idx")
+    os.makedirs(stream_dir)
+    corpus = synth_corpus(spark, 200).cache()
+    import glob
+    import shutil
+
+    for i in range(2):
+        part = corpus.filter(F.pmod(F.xxhash64("path"), F.lit(2)) == i)
+        part.coalesce(1).write.mode("overwrite").parquet(f"{stream_dir}/d{i}.tmp")
+        f = glob.glob(f"{stream_dir}/d{i}.tmp/*.parquet")[0]
+        shutil.move(f, f"{stream_dir}/drop_{i}.parquet")
+        shutil.rmtree(f"{stream_dir}/d{i}.tmp")
+    q = start_incremental_indexer(
+        spark, stream_dir, index_root, schema, content_col="content",
+        max_files_per_trigger=1, positional=True,
+    )
+    q.awaitTermination(300)
+
+    seg = SegmentedIndex(spark, index_root)
+    segs = seg.segments()
+    assert len(segs) == 2 and all(s.positional for s in segs)
+
+    p = spark.createDataFrame(
+        [(0, "term_0001 term_0002"), (1, "the_hot_term the_hot_term")],
+        "query_id long, phrase_text string",
+    )
+    want = phrase_match(
+        corpus.withColumn("doc_id", F.xxhash64("path")), p, k=10,
+        text_col="content", id_col="doc_id",
+    )
+    # corpus-scan oracle needs the SAME doc ids the indexer assigned: join
+    # occurrence counts by content instead — simpler: compare n_matches
+    # multisets per query (doc ids differ between scan and stream builds)
+    got = seg.phrase_indexed(p, k=10).toPandas()
+    scan = want.toPandas()
+    for qid in (0, 1):
+        g = sorted(got[got.query_id == qid].n_matches)
+        s = sorted(scan[scan.query_id == qid].n_matches)
+        assert g == s, qid
+    assert len(got) > 0
+
+    # compaction preserves the positional property and the results
+    assert compact_segments(spark, index_root, max_segments=1, n_buckets=16)
+    seg2 = SegmentedIndex(spark, index_root)
+    merged = seg2.segments()
+    assert len(merged) == 1 and merged[0].positional
+    got2 = seg2.phrase_indexed(p, k=10).toPandas()
+    assert sorted(map(tuple, got2.values.tolist())) == sorted(
+        map(tuple, got.values.tolist())
+    )
