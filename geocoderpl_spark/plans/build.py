@@ -453,11 +453,11 @@ def build_index(
     # term-docID pairs inside vectorized pandas/Arrow UDFs"): no JVM token
     # objects, no shuffle (per-doc local counting).
     def _docs_with_ids(cols: list[str]):
-        """corpus pruned to ``cols`` + doc_id. Pruning BEFORE the id
-        assignment matters: assign_doc_ids persists its range-partitioned
-        input (sampled boundaries must not be recomputed), and that cache
-        materializes every column it is given — the tf stage must not cache
-        metadata, and the docstats stage must not cache content."""
+        """corpus pruned to ``cols`` + doc_id. assign_doc_ids ranks a
+        KEYS-ONLY projection (r4) — the payload columns never ride the
+        range sampler/exchange/persist — but pruning before it still
+        matters: the id join re-reads the corpus scan, and a narrower scan
+        is a narrower parquet read on both sides."""
         pruned = corpus.select(
             *dict.fromkeys([*((id_col,) if id_col else key_cols), *cols])
         )

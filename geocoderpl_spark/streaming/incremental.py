@@ -105,13 +105,27 @@ class SegmentedIndex:
 
     # ---- shared query-side machinery --------------------------------------
 
-    def _collect_qterms(self, queries: DataFrame) -> list[tuple[int, int, str, int]]:
+    # Query batches beyond this row count are not "serving-shaped": the
+    # driver-side tokenize/gate would stage too much, so exact topk falls
+    # back to the fully-distributed union-decode plan instead.
+    MAX_DRIVER_QUERIES = 10_000
+
+    def _collect_qterms(
+        self, queries: DataFrame, limit: int | None = None
+    ) -> list[tuple[int, int, str, int]] | None:
         """Driver-side tokenization of a (metadata-sized) query batch:
-        [(query_id, k, term, qtf)]."""
+        [(query_id, k, term, qtf)]. With ``limit``, returns None when the
+        batch exceeds it (caller takes the distributed path instead)."""
         from ..functions.tokenize import tokenize_py
 
+        rows = (
+            queries.limit(limit + 1).collect() if limit is not None
+            else queries.collect()
+        )
+        if limit is not None and len(rows) > limit:
+            return None
         out: list[tuple[int, int, str, int]] = []
-        for q in queries.collect():
+        for q in rows:
             counts: dict[str, int] = {}
             for t in tokenize_py(q["query_text"]):
                 counts[t] = counts.get(t, 0) + 1
@@ -201,7 +215,9 @@ class SegmentedIndex:
         if not segs:  # empty index root -> empty result, not AttributeError
             return self.spark.createDataFrame([], TOPK_SCHEMA)
         n_docs, avgdl = self.global_stats(segs)
-        qterms = self._collect_qterms(queries)
+        qterms = self._collect_qterms(queries, limit=self.MAX_DRIVER_QUERIES)
+        if qterms is None:  # batch-scale query set: stay fully distributed
+            return self._topk_distributed(queries, segs, n_docs, avgdl, allowed_docs)
         terms_set = {t for _, _, t, _ in qterms}
         if not terms_set:
             return self.spark.createDataFrame([], TOPK_SCHEMA)
@@ -218,6 +234,55 @@ class SegmentedIndex:
         )
         rows = self._decoded_rows(segs, seg_hits, gid)
         return _score_rows(rows, gated, avgdl, allowed_docs=allowed_docs)
+
+    def _topk_distributed(
+        self,
+        queries: DataFrame,
+        segs: list[InvertedIndex],
+        n_docs: int,
+        avgdl: float,
+        allowed_docs: DataFrame | None = None,
+    ) -> DataFrame:
+        """Batch-scale exact BM25 over segments with NO driver-side query
+        staging: distributed query tokenization and a per-segment
+        gated-join decode union keyed by term STRING (the pre-r4 plan) —
+        slower per query, unbounded in batch size."""
+        from ..functions.bm25 import tfnorm_col
+        from ..operators.postings import decode_postings
+        from ..operators.topk import (
+            SCORE_DECIMALS,
+            _topk_window,
+            gate_terms,
+            tokenize_queries,
+        )
+
+        gterms = self.terms_union(segs)
+        gated = gate_terms(
+            tokenize_queries(queries), gterms.withColumn("term_id", F.lit(0)), n_docs
+        ).drop("term_id")
+        rows = None
+        for s in segs:
+            tids = F.broadcast(
+                s.terms.join(gated.select("term").distinct(), "term")
+                .select("term", "term_id")
+            )
+            r = decode_postings(
+                s.postings.join(tids.select("term_id"), "term_id").drop("poss")
+            ).join(tids, "term_id")
+            rows = r if rows is None else rows.unionByName(r)
+        if allowed_docs is not None:
+            rows = rows.join(allowed_docs.select("doc_id"), "doc_id", "left_semi")
+        scored = (
+            rows.join(F.broadcast(gated), "term")
+            .withColumn(
+                "contrib",
+                F.col("qtf") * F.col("idf")
+                * tfnorm_col(F.col("tf"), F.col("doclen"), avgdl),
+            )
+            .groupBy("query_id", "k", "doc_id")
+            .agg(F.round(F.sum("contrib"), SCORE_DECIMALS).alias("score"))
+        )
+        return _topk_window(scored)
 
     def topk_filtered(
         self,

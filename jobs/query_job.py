@@ -48,6 +48,10 @@ def main(argv: list[str]) -> int:
                     help="tokens that must NOT appear (implies --boolean)")
     ap.add_argument("--filter", default=None,
                     help="SQL predicate over docstats columns (faceted search)")
+    ap.add_argument("--autocomplete", action="store_true",
+                    help="prefix mode: a trailing partial word expands to the "
+                         "highest-df dictionary terms (with --serve the "
+                         "expansion is a driver-side bisect, no dictionary job)")
     args = ap.parse_args(argv)
     if not args.query and not args.queries_file:
         ap.error("one of --query / --queries-file is required")
@@ -78,7 +82,11 @@ def main(argv: list[str]) -> int:
             [(i, t, args.k) for i, t in enumerate(texts)],
             "query_id long, query_text string, k int",
         )
-        if allowed is not None:
+        if args.autocomplete and allowed is not None:
+            ap.error("--autocomplete does not compose with --filter yet")
+        if args.autocomplete:
+            hits = idx.autocomplete(q)
+        elif allowed is not None:
             hits = idx.topk_filtered(q, allowed)
         else:
             hits = idx.topk(q, mode=args.mode)
