@@ -815,6 +815,29 @@ def q_stream_phrase_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seg.phrase_indexed(p, k=10)
 
 
+def q_stream_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocomplete over the multi-segment index (r4 — last query mode to
+    reach LSM parity): expansion ranked by GLOBAL df summed across the
+    segments' term-sorted dictionaries; same oracle as fts_autocomplete."""
+    seg = _seg_index_for(spark, sf_dir)
+    q = spark.createDataFrame(
+        AUTOCOMPLETE_QUERIES, "query_id long, query_text string, k int"
+    )
+    return seg.autocomplete(q, max_expansions=AUTOCOMPLETE_MAX_EXP)
+
+
+def q_stream_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snippets over segmented hits: the highlighting operator composes
+    with ANY hit source — here the segmented pruned top-k (which itself
+    hash-matches the single-index BM25 ranking), so the single-index
+    snippets oracle carries over verbatim."""
+    from geocoderpl_spark.operators.textstats import snippets
+
+    seg = _seg_index_for(spark, sf_dir)
+    q = _bm25_queries_df(spark)
+    return snippets(_docs(spark, sf_dir), q, seg.topk_pruned(q), width=5)
+
+
 def q_fts_bm25_topk_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The driver-side serving tier (VERDICT r03 #6): pinned vocabulary +
     manifest-selected direct parquet block reads + the same MaxScore kernel
@@ -947,6 +970,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_filtered_topk": q_stream_filtered_topk,
         "stream_boolean": q_stream_boolean,
         "stream_phrase_indexed": q_stream_phrase_indexed,
+        "stream_autocomplete": q_stream_autocomplete,
+        "stream_snippets": q_stream_snippets,
         "fts_bm25_topk_served": q_fts_bm25_topk_served,
         "fts_autocomplete_serve": q_fts_autocomplete_serve,
         "mm_frame_sample": q_mm_frame_sample,
@@ -975,6 +1000,8 @@ def oracle_sql() -> dict[str, str]:
         "fts_boolean": _boolean_oracle(),
         "stream_boolean": _boolean_oracle(),
         "fts_snippets": _BM25_CORE + _SNIPPETS_FINAL.format(toks=_duck_toks("query_text")),
+        # segmented hits hash-match the same BM25 ranking -> same snippets
+        "stream_snippets": _BM25_CORE + _SNIPPETS_FINAL.format(toks=_duck_toks("query_text")),
         "fts_bm25_topk_docs": _BM25_CORE + _BM25_DOCS_FINAL,
         "fts_autocomplete": _autocomplete_oracle(),
         "fts_phrase_match": f"""
@@ -1419,6 +1446,7 @@ FROM m
     # scan; serve-mode autocomplete to the distributed expansion
     d["stream_phrase_indexed"] = d["fts_phrase_match"]
     d["fts_autocomplete_serve"] = d["fts_autocomplete"]
+    d["stream_autocomplete"] = d["fts_autocomplete"]
     # persisted IVF = same quantizer + rerank as the one-shot operator
     d["ann_ivf_persisted"] = d["ann_ivf_topk"]
     return d

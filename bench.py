@@ -178,9 +178,14 @@ def main() -> None:
                 "overwrite"
             ).parquet(big_corpus)
             spark.stop()
+        # the 8-level is the drift-exposed one (matrix draws: 105.6 vs 203.9 s
+        # same config) — give it an extra rep, like the 200k triple does
+        exec_reps = {2: SCALE_LARGE_REPS, 8: SCALE_LARGE_REPS + 1}
         ewalls: dict[int, list[float]] = {2: [], 8: []}
-        for _rep in range(SCALE_LARGE_REPS):
+        for _rep in range(max(exec_reps.values())):
             for cpus in (2, 8):  # interleaved across levels, like the 200k pair
+                if _rep >= exec_reps[cpus]:
+                    continue
                 env = dict(os.environ, GRAFT_MASTER=EXEC_MASTER)
                 # taskset pins the WHOLE tree (executor JVMs, python workers,
                 # Arrow's internal pool) to exactly `cpus` host CPUs — the
@@ -230,6 +235,21 @@ def main() -> None:
     timings["bm25_queryset_p50"] = round(statistics.median(lat), 3)
     extra["bm25_query_p50_ms"] = round(
         statistics.median(lat) / len(entrymod.BM25_QUERIES) * 1000, 1
+    )
+
+    # single-query serving latency through the REAL serving entry point
+    # (InvertedIndex.query -> driver-side tier, zero Spark jobs): per-query
+    # walls with the result cache cleared each rep — cold-path p50, the
+    # number comparable to the reference GUI's per-keystroke answer
+    singles = []
+    for _ in range(5):
+        idx._query_cache = {}
+        for _qid, qtext, k in entrymod.BM25_QUERIES:
+            t0 = time.time()
+            idx.query(qtext, k)
+            singles.append(time.time() - t0)
+    extra["bm25_single_query_p50_ms"] = round(
+        statistics.median(singles) * 1000, 2
     )
 
     # ---- batch query throughput: 200-query set through the exact path ------

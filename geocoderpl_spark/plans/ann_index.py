@@ -7,6 +7,7 @@ module materializes the IVF layout the SCALE.md design promises:
     <root>/centroids/   (list_id, cvec)           — C rows, driver-cacheable
     <root>/vectors/     list_id=*/...(id, vec)    — partitionBy(list_id)
     <root>/ids/         (id, list_id, vec) sorted by id — probe-fetch sidecar
+    <root>/appends/app_NNNNN/{vectors,ids,_COMMIT} — committed append segments
     <root>/meta/meta.json
 
 so query-time nprobe selection happens DRIVER-side against the cached
@@ -39,6 +40,34 @@ from ..operators.similarity import (
     _norm,
     ivf_assignments,
 )
+
+
+def _assign_to_centroids(
+    embeddings: DataFrame,
+    cents: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(vec_id, list_id) against a GIVEN (frozen) centroid table — the
+    append-path quantizer. Same argmax semantics as
+    ``similarity.ivf_assignments`` (cosine desc, list_id asc, NaN-largest),
+    so an append whose ids don't disturb the centroid sample produces an
+    index identical to a from-scratch build over the union (asserted in
+    tests)."""
+    scored = embeddings.crossJoin(F.broadcast(cents)).select(
+        id_col,
+        "list_id",
+        (
+            _dot(F.col(vec_col), F.col("cvec"))
+            / (_norm(F.col(vec_col)) * _norm(F.col("cvec")))
+        ).alias("ccos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("list_id"))
+    return (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") == 1)
+        .select(id_col, "list_id")
+    )
 
 
 def build_ivf_index(
@@ -111,6 +140,16 @@ class IvfIndex:
         self.n_centroids = meta["n_centroids"]
         self.id_col = meta.get("id_col", "vec_id")
         self.vec_col = meta.get("vec_col", "embedding")
+        # committed append segments only: a crash mid-append leaves a dir
+        # without _COMMIT, which is invisible to every reader (LSM rule)
+        adir = os.path.join(root, "appends")
+        self._appends = sorted(
+            os.path.join(adir, d) for d in (
+                os.listdir(adir) if os.path.isdir(adir) else []
+            )
+            if d.startswith("app_")
+            and os.path.exists(os.path.join(adir, d, "_COMMIT"))
+        )
         # centroids are metadata-sized (C ≈ sqrt(n)): pin them driver-side
         # so nprobe selection never runs a Spark job
         self._centroids = [
@@ -125,16 +164,105 @@ class IvfIndex:
 
     @property
     def vectors(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.root, "vectors"))
+        """Base + committed append segments. Each root is read separately
+        and unioned, so ``list_id IN (...)`` partition-dir pruning applies
+        inside every segment."""
+        df = self.spark.read.parquet(os.path.join(self.root, "vectors"))
+        for app in self._appends:
+            df = df.unionByName(
+                self.spark.read.parquet(os.path.join(app, "vectors"))
+            )
+        return df
 
     @property
     def ids(self) -> DataFrame | None:
-        """id-sorted (id, list_id, vec) sidecar, or None on a pre-sidecar
-        index (probe fetches then fall back to the unpruned vectors scan)."""
+        """id-sorted (id, list_id, vec) sidecar (base + appends, each
+        individually id-sorted so row-group pruning works per segment), or
+        None on a pre-sidecar index (probe fetches then fall back to the
+        unpruned vectors scan)."""
         p = os.path.join(self.root, "ids")
         if not os.path.exists(os.path.join(p, "_SUCCESS")):
             return None
-        return self.spark.read.parquet(p)
+        df = self.spark.read.parquet(p)
+        for app in self._appends:
+            df = df.unionByName(self.spark.read.parquet(os.path.join(app, "ids")))
+        return df
+
+    # ---- maintenance (VERDICT r03 missing #4) -----------------------------
+
+    def append_vectors(self, new_embeddings: DataFrame) -> "IvfIndex":
+        """IVF append — the vector side's LSM maintenance: assign new
+        vectors to their nearest EXISTING centroid (the quantizer is
+        FROZEN, standard IVF append semantics) and commit them as an
+        append segment (vectors partitioned by list_id + id-sorted ids
+        sidecar + ``_COMMIT`` marker written last). Readers see the new
+        vectors immediately after the commit; a crash mid-append leaves an
+        uncommitted dir that every reader ignores.
+
+        Note the quantizer-drift tradeoff: appended mass may cluster away
+        from the frozen centroids, degrading nprobe recall over time —
+        :meth:`needs_rebuild` is the pressure gauge, :meth:`rebuild` the
+        major compaction."""
+        import shutil
+
+        cents = self.spark.read.parquet(os.path.join(self.root, "centroids"))
+        assign = _assign_to_centroids(
+            new_embeddings, cents, self.id_col, self.vec_col
+        )
+        adir = os.path.join(self.root, "appends")
+        os.makedirs(adir, exist_ok=True)
+        n = 0
+        for d in os.listdir(adir):
+            if d.startswith("app_"):
+                n = max(n, int(d.split("_")[1]) + 1)
+        app = os.path.join(adir, f"app_{n:05d}")
+        shutil.rmtree(app, ignore_errors=True)  # uncommitted leftover
+        (
+            new_embeddings.join(assign, self.id_col)
+            .repartition("list_id")
+            .write.mode("overwrite")
+            .partitionBy("list_id")
+            .parquet(os.path.join(app, "vectors"))
+        )
+        appended = self.spark.read.parquet(os.path.join(app, "vectors"))
+        (
+            appended.select(self.id_col, "list_id", self.vec_col)
+            .sort(self.id_col)
+            .write.mode("overwrite")
+            .parquet(os.path.join(app, "ids"))
+        )
+        n_vecs = appended.count()
+        tmp = os.path.join(app, "_COMMIT.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"n_vectors": n_vecs}, f)
+        os.replace(tmp, os.path.join(app, "_COMMIT"))
+        return IvfIndex.load(self.spark, self.root)
+
+    def appended_fraction(self) -> float:
+        """Appended vectors / base size — the quantizer-drift gauge."""
+        base = self.spark.read.parquet(os.path.join(self.root, "vectors")).count()
+        appended = 0
+        for app in self._appends:
+            with open(os.path.join(app, "_COMMIT")) as f:
+                appended += json.load(f)["n_vectors"]
+        return appended / base if base else float("inf")
+
+    def needs_rebuild(self, threshold: float = 0.5) -> bool:
+        """Re-quantization policy: True once the appended mass exceeds
+        ``threshold`` of the base — the frozen quantizer no longer reflects
+        the data distribution and a fresh build (new centroids) is due."""
+        return self.appended_fraction() > threshold
+
+    def rebuild(self, out_dir: str) -> "IvfIndex":
+        """Major compaction: rebuild from scratch (fresh quantizer) over
+        base + appends into ``out_dir``. Directory swap is left to the
+        deployment (serve from the new root, GC the old) — same contract as
+        the posting side's compaction rename."""
+        return build_ivf_index(
+            self.spark, self.vectors.drop("list_id"), out_dir, dim=self.dim,
+            n_centroids=self.n_centroids, id_col=self.id_col,
+            vec_col=self.vec_col,
+        )
 
     def _fetch_probes(self, probe_ids: list[int]) -> dict[int, list[float]]:
         """Probe-vector point fetch. Against the id-SORTED sidecar the

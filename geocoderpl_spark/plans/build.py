@@ -185,13 +185,34 @@ class InvertedIndex:
             self._query_cache.pop(key)
             self._query_cache[key] = hit  # LRU refresh
             return hit
-        q = self.spark.createDataFrame(
-            [(0, text, int(k))], "query_id long, query_text string, k int"
-        )
-        rows = [
-            (r["rank"], r["doc_id"], r["score"])
-            for r in self.topk(q, mode="pruned").orderBy("rank").collect()
-        ]
+        rows = None
+        if self._local_reader is not None and self._term_lookup is not None:
+            # full driver-side path (r4): no DataFrame, no Spark roundtrip —
+            # a cold single query answers in single-digit ms (the measured
+            # Spark floor is ~250 ms just to collect a 7-row local relation)
+            from ..operators.topk import MAX_BLOCKS_PER_TERM, _hot_df_threshold
+            from .serving import topk_local
+
+            res, spark_qids = topk_local(
+                self._local_reader,
+                [{"query_id": 0, "query_text": text, "k": int(k)}],
+                self._term_lookup, self.n_docs, self.avgdl,
+                _hot_df_threshold(MAX_BLOCKS_PER_TERM),
+            )
+            if not spark_qids:  # hot queries still go through Spark below
+                res = res.sort_values("rank")
+                rows = [
+                    (int(r), int(d), float(s))
+                    for r, d, s in zip(res["rank"], res["doc_id"], res["score"])
+                ]
+        if rows is None:
+            q = self.spark.createDataFrame(
+                [(0, text, int(k))], "query_id long, query_text string, k int"
+            )
+            rows = [
+                (r["rank"], r["doc_id"], r["score"])
+                for r in self.topk(q, mode="pruned").orderBy("rank").collect()
+            ]
         self._query_cache[key] = rows
         while len(self._query_cache) > self.QUERY_CACHE_SIZE:
             self._query_cache.pop(next(iter(self._query_cache)))

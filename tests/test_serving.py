@@ -103,6 +103,50 @@ def test_ivf_probe_fetch_pruned(spark, tmp_path):
     assert a == b and len(a) == 25
 
 
+def test_ivf_append_and_rebuild_policy(spark, tmp_path):
+    """IVF maintenance (VERDICT r03 missing #4): frozen-quantizer append is
+    equivalent to a from-scratch build over the union when the appended ids
+    don't disturb the centroid sample; uncommitted appends are invisible;
+    the re-quantization gauge and rebuild work."""
+    import os as _os
+
+    from geocoderpl_spark.plans.ann_index import IvfIndex, build_ivf_index
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") < 400)
+    extra = emb.filter(F.col("vec_id") >= 400)
+    root = str(tmp_path / "ivf_base")
+    idx = build_ivf_index(spark, base, root, dim=64)
+    idx2 = idx.append_vectors(extra)
+    assert len(idx2._appends) == 1
+
+    # centroid sample = 16 smallest ids (< 400 on both sides) -> a fresh
+    # build over the union has the SAME quantizer -> identical results,
+    # including probes that live in the appended segment
+    full = build_ivf_index(spark, emb, str(tmp_path / "ivf_full"), dim=64)
+    probes = [0, 1, 450, 499]
+    a = sorted(tuple(r) for r in idx2.topk(probes, k=5).collect())
+    b = sorted(tuple(r) for r in full.topk(probes, k=5).collect())
+    assert a == b and len(a) == 20
+
+    # probe fetch resolves appended ids through the append sidecars
+    got = idx2._fetch_probes([450])
+    assert list(got) == [450]
+
+    # crash-safety: a dir without _COMMIT is invisible to readers
+    _os.makedirs(_os.path.join(root, "appends", "app_90000", "vectors"))
+    assert len(IvfIndex.load(spark, root)._appends) == 1
+
+    # re-quantization pressure gauge + major compaction
+    frac = idx2.appended_fraction()
+    assert frac > 0
+    assert idx2.needs_rebuild(threshold=frac / 2)
+    assert not idx2.needs_rebuild(threshold=frac * 2)
+    rb = idx2.rebuild(str(tmp_path / "ivf_rb"))
+    c = sorted(tuple(r) for r in rb.topk(probes, k=5).collect())
+    assert c == b  # fresh quantizer over the union == the from-scratch build
+
+
 # ---------------------------------------------------------------------------
 # driver-side serving tier
 # ---------------------------------------------------------------------------
@@ -273,6 +317,27 @@ def test_segmented_phrase_matches_single(spark, sidx, segidx):
         idx.postings, idx.terms, p, n_buckets=idx.n_buckets, k=10
     ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
     seg = segidx.phrase_indexed(p, k=10).toPandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    assert seg.equals(single)
+    assert len(single) > 0
+
+
+def test_segmented_autocomplete_matches_single(spark, sidx, segidx):
+    """LSM autocomplete parity: global-df expansion over the segments'
+    dictionaries equals the merged single-index expansion exactly."""
+    from geocoderpl_spark.operators.topk import query_topk_autocomplete
+
+    idx, _ = sidx
+    q = spark.createDataFrame(
+        [(0, "term_00", 10), (1, "term_0001 camelCase", 10),
+         (2, "term_0001 ", 10), (3, "zzz_nothing", 5)],
+        "query_id long, query_text string, k int",
+    )
+    single = query_topk_autocomplete(
+        idx.postings, idx.terms, q, idx.n_docs, idx.avgdl,
+        n_buckets=idx.n_buckets, max_expansions=5,
+    ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    seg = segidx.autocomplete(q, max_expansions=5).toPandas().sort_values(
         ["query_id", "rank"]).reset_index(drop=True)
     assert seg.equals(single)
     assert len(single) > 0
