@@ -64,6 +64,15 @@ class LocalBlockReader:
             hit = self._cache[t]
             self._cache.move_to_end(t)  # LRU refresh
             out[t] = hit
+        # evict AFTER the lookup, never the current query's terms — a cache
+        # cap smaller than one query's working set must degrade to
+        # read-through, not KeyError mid-query
+        current = set(tids)
+        while self._cached_blocks > self.max_cached_blocks:
+            victim = next((k for k in self._cache if k not in current), None)
+            if victim is None:
+                break
+            self._cached_blocks -= len(self._cache.pop(victim))
         return out
 
     def _fetch(self, tids: list[int]) -> None:
@@ -88,9 +97,6 @@ class LocalBlockReader:
             g = groups.get(t, pdf.iloc[0:0])
             self._cache[t] = g
             self._cached_blocks += len(g)
-        while self._cached_blocks > self.max_cached_blocks and self._cache:
-            _, evicted = self._cache.popitem(last=False)
-            self._cached_blocks -= len(evicted)
 
 
 def topk_local(

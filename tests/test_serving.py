@@ -186,6 +186,30 @@ def test_topk_local_rank_identical_and_jobless(spark, sidx):
     assert list(got.score) == list(exact.score)
 
 
+def test_topk_local_tiny_cache_degrades_not_crashes(spark, sidx):
+    """A block cache smaller than one query's working set must degrade to
+    read-through (results unchanged), never evict mid-query and KeyError."""
+    from geocoderpl_spark.operators.topk import MAX_BLOCKS_PER_TERM, _hot_df_threshold
+    from geocoderpl_spark.plans.serving import LocalBlockReader, topk_local
+
+    idx, _ = sidx
+    idx.serve()
+    tiny = LocalBlockReader(
+        idx.root, idx.n_buckets, idx._local_reader.entries, max_cached_blocks=1
+    )
+    res, spark_qids = topk_local(
+        tiny, _qdf(spark).collect(), idx._term_lookup, idx.n_docs, idx.avgdl,
+        _hot_df_threshold(MAX_BLOCKS_PER_TERM),
+    )
+    assert spark_qids == []
+    exact = (
+        idx.topk(_qdf(spark), mode="exact")
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    got = res.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert list(got.doc_id) == list(exact.doc_id)
+
+
 def test_topk_local_hot_routes_to_spark(spark, sidx):
     """A term whose df exceeds the serving cap must route its query to the
     distributed path — and the end-to-end result stays rank-identical."""
