@@ -88,7 +88,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | str | None = "auto",
 ) -> DataFrame:
     """Near-dup pairs (doc_a < doc_b, jaccard >= threshold) over n-gram
     shingle sets. Candidates = docs sharing >=1 shingle (equi-join on the
@@ -98,7 +98,16 @@ def ngram_jaccard_pairs(
     before pairing (hot-key cap; identical semantics as long as surviving
     pairs still share a rarer shingle — at threshold>=0.5 near-dups always
     do in practice; the oracle applies the same cap).
+
+    The cap is ON BY DEFAULT (VERDICT r04 #7): ``"auto"`` resolves to
+    max(64, 1% of the corpus) — a boilerplate shingle shared by >1% of docs
+    contributes O((0.01·N)²) candidate pairs, the quadratic trap this
+    operator exists to avoid, while threshold≥0.5 survivors share many
+    rarer shingles. Uncapped pairing (the provably-lossless but
+    scale-unsafe variant) now requires an EXPLICIT ``max_shingle_df=None``.
     """
+    if max_shingle_df == "auto":
+        max_shingle_df = max(64, docs.count() // 100)
     # persist: the shingle relation feeds sizes + both join sides (3 uses);
     # without it each use re-runs tokenization
     sh = shingles(docs, n, text_col, id_col).persist()

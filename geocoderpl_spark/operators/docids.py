@@ -37,6 +37,27 @@ def assign_dense_ids(
     other_cols = [c for c in df.columns if c not in key_cols]
     if other_cols:
         ids = _rank_keys(df.select(*key_cols), key_cols, out_col, partitions)
+        # Key-uniqueness is load-bearing on this path (ADVICE r04): with a
+        # duplicate natural key the rank table holds one row per INPUT row,
+        # so the key join would fan each payload row out to every rank row
+        # of its key — silent row multiplication. Detect it on the already-
+        # persisted keys-only lineage (one cheap in-memory aggregate) and
+        # fail loudly instead.
+        dup = (
+            ids._dense_ids_cache.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .filter(F.col("_c") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            ids._dense_ids_cache.unpersist()
+            raise ValueError(
+                f"assign_dense_ids: key {key_cols} is not unique "
+                f"(e.g. {tuple(dup[0][c] for c in key_cols)}); dense-rank ids "
+                "over a duplicate key would multiply payload rows at the "
+                "join-back — deduplicate the corpus or pass an explicit id_col"
+            )
         out = df.join(ids, key_cols)
         out._dense_ids_cache = ids._dense_ids_cache
         return out

@@ -773,6 +773,8 @@ def build_postings(
     partitions: int | None = None,
     n_docs: int | None = None,
     bucket_mod: tuple[int, int] | None = None,
+    doc_id_range: tuple[int, int] | None = None,
+    n_terms: int | None = None,
 ) -> DataFrame:
     """tf (term, doc_id, doclen, tf) -> compressed posting blocks.
 
@@ -819,10 +821,30 @@ def build_postings(
     # limit; tf <= doclen; the kernel upcasts to int64 before arithmetic.)
     # Hash-partition assignment is over the same (bucket, slice) VALUES, so
     # block boundaries — and resume byte-identity — are unchanged.
+    # r5 (VERDICT r04 #1a): when the caller can PROVE the id spaces fit
+    # int32 — doc_id via the docstats min/max (one extra agg column in a
+    # job that already runs), term_id via the dictionary size (term_id is
+    # the rank of term, so max = n_terms-1) — both ids narrow before the
+    # exchange too, cutting another ~8 B/row off the in-memory row and
+    # (via the zero-byte-heavy padding) the lz4-compressed shuffle stream.
+    # The encoder upcasts to int64, so block BYTES are unchanged (the
+    # byte-identity and resume tests still certify equality), and hash
+    # partitioning is over the same VALUES, so partition assignment —
+    # and resume byte-identity — is unchanged. None = no proof = stay wide.
+    doc_expr = F.col("doc_id")
+    if doc_id_range is not None and (
+        -(1 << 31) <= doc_id_range[0] and doc_id_range[1] < (1 << 31)
+    ):
+        doc_expr = F.col("doc_id").cast("int")
+    term_expr = F.col("term_id")
+    if n_terms is not None and n_terms <= (1 << 31):
+        term_expr = F.col("term_id").cast("int")
     slice_col = (F.col("doc_id") / F.lit(slice_docs)).cast("long")
     narrow = (
         keyed.select(
-            "bucket", "term_id", "doc_id",
+            "bucket",
+            term_expr.alias("term_id"),
+            doc_expr.alias("doc_id"),
             F.col("doclen").cast("int").alias("doclen"),
             F.col("tf").cast("int").alias("tf"),
             *pos_cols,

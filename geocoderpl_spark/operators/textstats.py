@@ -149,6 +149,7 @@ def snippets(
         .limit(max_collect_hits + 1)
         .collect()
     )
+    hits_cache = None  # set on the over-cap fallback branch only
     if not hit_rows:
         return docs.sparkSession.createDataFrame(
             [], "query_id long, doc_id long, rank int, first_pos long, snippet string"
@@ -172,7 +173,14 @@ def snippets(
             hits.select("query_id", "doc_id", "rank").join(qt, "query_id")
         )
     else:
-        hits = hits.select("query_id", "doc_id", "rank")
+        # batch regime: the hit pipeline is referenced twice below (doc
+        # fetch semi-join + joined_hits) on top of the guard collect above —
+        # persist it HERE rather than relying on callers to notice
+        # (ADVICE r04). The persisted handle rides the result as
+        # ``_snippets_hits_cache`` for caller-side unpersist after
+        # materialization (same pattern as assign_dense_ids).
+        hits = hits.select("query_id", "doc_id", "rank").persist()
+        hits_cache = hits
         fetched = docs.join(
             hits.select(F.col("doc_id").alias(id_col)).distinct(), id_col, "left_semi"
         )
@@ -194,7 +202,7 @@ def snippets(
     j = j.withColumn("first_pos", p)
     a = F.greatest(F.lit(1).cast("long"), F.col("first_pos") - width)
     b = F.least(F.size("toks").cast("long"), F.col("first_pos") + width)
-    return j.select(
+    out = j.select(
         "query_id",
         "doc_id",
         F.col("rank").cast("int").alias("rank"),
@@ -203,6 +211,9 @@ def snippets(
             F.slice("toks", a.cast("int"), (b - a + 1).cast("int")), " "
         ).alias("snippet"),
     )
+    if hits_cache is not None:
+        out._snippets_hits_cache = hits_cache
+    return out
 
 
 def phrase_match(

@@ -264,6 +264,163 @@ class IvfIndex:
             vec_col=self.vec_col,
         )
 
+    # ---- driver-side serving (VERDICT r04 #6) -----------------------------
+
+    _served: bool = False
+    # candidate cap for one in-process rerank: past this the Spark plan runs
+    MAX_LOCAL_CANDIDATES = 2_000_000
+
+    def serve(self) -> "IvfIndex":
+        """Pin the zero-job serving state: per-list file lists + row counts
+        (from parquet footers, base + committed appends) and the id-range
+        index of the sorted sidecar files — so a point ANN query runs
+        nprobe selection (already driver-side against the pinned centroids),
+        a direct-parquet probe fetch, and a numpy exact rerank over the
+        nprobe lists' files with ZERO Spark jobs. The same ``serving.py``
+        shape as the posting tier: manifest-selected files, bounded reads,
+        Spark fallback past :attr:`MAX_LOCAL_CANDIDATES`. Results are
+        identical to the Spark path: same quantizer, same float64
+        left-to-right cosine, same rounding and tie-breaks (NaN-largest).
+        """
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        list_files: dict[int, list[str]] = {}
+        list_rows: dict[int, int] = {}
+        roots = [self.root, *self._appends]
+        for rt in roots:
+            for d in sorted(_glob.glob(os.path.join(rt, "vectors", "list_id=*"))):
+                lid = int(os.path.basename(d).split("=", 1)[1])
+                for fp in sorted(_glob.glob(os.path.join(d, "*.parquet"))):
+                    list_files.setdefault(lid, []).append(fp)
+                    list_rows[lid] = (
+                        list_rows.get(lid, 0) + pq.ParquetFile(fp).metadata.num_rows
+                    )
+        ids_files: list[tuple[str, int, int]] = []  # (path, id_min, id_max)
+        for rt in roots:
+            for fp in sorted(_glob.glob(os.path.join(rt, "ids", "*.parquet"))):
+                md = pq.ParquetFile(fp).metadata
+                ci = {md.schema.column(i).name: i
+                      for i in range(md.num_columns)}[self.id_col]
+                lo = hi = None
+                for g in range(md.num_row_groups):
+                    st = md.row_group(g).column(ci).statistics
+                    if st is None or not st.has_min_max:  # pragma: no cover
+                        lo, hi = -(1 << 62), (1 << 62)
+                        break
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                if lo is not None:
+                    ids_files.append((fp, int(lo), int(hi)))
+        self._list_files = list_files
+        self._list_rows = list_rows
+        self._ids_files = ids_files
+        self._served = True
+        return self
+
+    def _fetch_probes_local(self, probe_ids: list[int]) -> dict[int, list[float]]:
+        """Direct-parquet probe fetch against the id-sorted sidecar: only
+        files whose [id_min, id_max] range covers a probe are opened."""
+        import pyarrow.dataset as ds
+
+        files = [
+            fp for fp, lo, hi in self._ids_files
+            if any(lo <= p <= hi for p in probe_ids)
+        ]
+        if not files:
+            return {}
+        tbl = ds.dataset(files, format="parquet").to_table(
+            columns=[self.id_col, self.vec_col],
+            filter=ds.field(self.id_col).isin(probe_ids),
+        )
+        return {
+            int(i): list(v)
+            for i, v in zip(tbl[self.id_col].to_pylist(),
+                            tbl[self.vec_col].to_pylist())
+        }
+
+    def _read_lists_local(self, lists: list[int]):
+        """(ids, matrix) per list_id from direct parquet reads."""
+        import numpy as np
+        import pyarrow.dataset as ds
+
+        out = {}
+        for lid in lists:
+            files = self._list_files.get(lid, [])
+            if not files:
+                out[lid] = (np.empty(0, dtype=np.int64),
+                            np.empty((0, self.dim), dtype=np.float64))
+                continue
+            tbl = ds.dataset(files, format="parquet").to_table(
+                columns=[self.id_col, self.vec_col]
+            )
+            ids = tbl[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = tbl[self.vec_col].combine_chunks().flatten().to_numpy(
+                zero_copy_only=False
+            )
+            out[lid] = (ids, flat.astype(np.float64).reshape(-1, self.dim))
+        return out
+
+    def _topk_local(self, probe_ids, k, n_probe, probe_vecs):
+        """In-process nprobe + exact rerank; None => caller takes the Spark
+        path (over-cap candidate volume). Cosine math mirrors the Spark
+        expressions exactly: per-element float->double cast, LEFT-TO-RIGHT
+        float64 summation (np.cumsum, not pairwise np.dot), 6-dp rounding,
+        (cos desc NaN-largest, id asc) ordering."""
+        import numpy as np
+
+        probes = (
+            {pid: probe_vecs[pid] for pid in probe_ids if pid in probe_vecs}
+            if probe_vecs is not None
+            else self._fetch_probes_local(probe_ids)
+        )
+        pairs: list[tuple[int, list[int]]] = []
+        total = 0
+        for pid in probe_ids:
+            if pid not in probes:
+                continue
+            lists = self._nprobe_lists(probes[pid], n_probe)
+            pairs.append((pid, lists))
+            total += sum(self._list_rows.get(lid, 0) for lid in lists)
+        if total > self.MAX_LOCAL_CANDIDATES:
+            return None
+        need = sorted({lid for _, lists in pairs for lid in lists})
+        data = self._read_lists_local(need)
+        rows = {"probe_id": [], "rank": [], self.id_col: [], "cos": []}
+        for pid, lists in pairs:
+            ids = np.concatenate([data[lid][0] for lid in lists])
+            mat = np.vstack([data[lid][1] for lid in lists])
+            keep = ids != pid
+            ids, mat = ids[keep], mat[keep]
+            if ids.size == 0:
+                continue
+            p = np.asarray(probes[pid], dtype=np.float32).astype(np.float64)
+            # left-to-right accumulation == F.aggregate's sequential fold
+            dot = np.cumsum(mat * p, axis=1)[:, -1]
+            nrm = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
+            pn = math.sqrt(float(np.cumsum(p * p)[-1]))
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = np.round(dot / (nrm * pn), COS_DECIMALS)
+            # Spark sorts NaN as the LARGEST double under desc: put the NaN
+            # group first by mapping it to -inf on the ascending -cos key
+            key = np.where(np.isnan(cos), -np.inf, -cos)
+            sel = np.lexsort((ids, key))[:k]
+            rows["probe_id"].extend([pid] * sel.size)
+            rows["rank"].extend(range(1, sel.size + 1))
+            rows[self.id_col].extend(int(i) for i in ids[sel])
+            rows["cos"].extend(float(c) for c in cos[sel])
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "probe_id": pd.Series(rows["probe_id"], dtype="int64"),
+                "rank": pd.Series(rows["rank"], dtype="int32"),
+                self.id_col: pd.Series(rows[self.id_col], dtype="int64"),
+                "cos": pd.Series(rows["cos"], dtype="float64"),
+            }
+        )
+
     def _fetch_probes(self, probe_ids: list[int]) -> dict[int, list[float]]:
         """Probe-vector point fetch. Against the id-SORTED sidecar the
         literal ``id IN (...)`` prunes to the few files/row-groups whose id
@@ -310,7 +467,21 @@ class IvfIndex:
         the same embeddings/params; the candidate scan is partition-pruned
         to the probes' nprobe lists (``list_id IN (...)`` over dirs).
         ``probe_vecs`` (id -> vector) skips the probe fetch entirely for
-        callers that already hold the query vectors."""
+        callers that already hold the query vectors.
+
+        After :meth:`serve`, the query answers driver-side (direct parquet
+        reads + numpy rerank, zero Spark jobs) unless the candidate volume
+        exceeds :attr:`MAX_LOCAL_CANDIDATES` — then the Spark plan below
+        runs, result-identical."""
+        if self._served:
+            res = self._topk_local(probe_ids, k, n_probe, probe_vecs)
+            if res is not None:
+                schema = f"probe_id long, rank int, {self.id_col} long, cos double"
+                return (
+                    self.spark.createDataFrame(res, schema=schema)
+                    if len(res)
+                    else self.spark.createDataFrame([], schema)
+                )
         vecs = self.vectors
         probes = (
             {pid: probe_vecs[pid] for pid in probe_ids if pid in probe_vecs}

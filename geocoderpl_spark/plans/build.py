@@ -116,19 +116,41 @@ class InvertedIndex:
     _term_lookup: dict | None = None
     _sorted_terms: list | None = None
     _local_reader: object | None = None
+    _local_pos_reader: object | None = None
+    _docs_source: str | None = None
+    _docs_id_col: str = "doc_id"
+    _docs_text_col: str = "text"
 
     # Driver-side vocabulary cutover: above this many terms the dictionary
     # stays distributed (broadcast-join gate, topk.py) instead of being
     # collected — at 1e9 terms a driver-resident dict would be ~30 GB.
     MAX_DRIVER_TERMS = 20_000_000
+    # Query batches beyond this are not serving-shaped: the driver-side
+    # loop would serialize a batch workload — route to the distributed
+    # pruned plan instead (same guard as SegmentedIndex, ADVICE r04).
+    MAX_DRIVER_QUERIES = 10_000
 
-    def serve(self, max_driver_terms: int | None = None) -> "InvertedIndex":
+    def serve(
+        self,
+        max_driver_terms: int | None = None,
+        docs_source: str | None = None,
+        docs_id_col: str = "doc_id",
+        docs_text_col: str = "text",
+    ) -> "InvertedIndex":
         """Pin posting blocks in executor memory and — when the vocabulary is
         small enough — the term dictionary in the driver for low-latency
         serving (reference analog: the GUI keeps the vocabulary string and
         sector index resident, ``geo_gui.py:36-43``). Beyond
         ``max_driver_terms`` the collect is skipped automatically and queries
-        gate through the distributed broadcast join. Idempotent."""
+        gate through the distributed broadcast join. Idempotent.
+
+        ``docs_source`` (a parquet path of the corpus) additionally enables
+        the serve-mode snippets path (:meth:`snippets`): hit docs are
+        point-fetched with a direct pyarrow read instead of a Spark job."""
+        if docs_source is not None:
+            self._docs_source = docs_source
+            self._docs_id_col = docs_id_col
+            self._docs_text_col = docs_text_col
         if max_driver_terms is None:
             max_driver_terms = self.MAX_DRIVER_TERMS
         if self._postings_cached is None:
@@ -157,7 +179,36 @@ class InvertedIndex:
                 self._local_reader = LocalBlockReader(
                     self.root, self.n_buckets, entries
                 )
+                if self.positional:
+                    # separate reader (own cache) carrying the positions
+                    # stream — the BM25 paths must never fetch it
+                    self._local_pos_reader = LocalBlockReader(
+                        self.root, self.n_buckets, entries,
+                        with_positions=True,
+                    )
         return self
+
+    def _serving_source(self):
+        """The pinned single-source list for the driver-side tails, or None
+        when not serving (then every mode uses its distributed plan)."""
+        if self._local_reader is None or self._term_lookup is None:
+            return None
+        from .serving import ServingSource
+
+        return [ServingSource(
+            self._local_reader, self._term_lookup,
+            pos_reader=self._local_pos_reader,
+        )]
+
+    def _collect_capped(self, df: DataFrame, cap: int) -> list | None:
+        """Collect up to ``cap`` rows; None when the frame exceeds it (the
+        caller stays distributed)."""
+        rows = df.limit(cap + 1).collect()
+        return None if len(rows) > cap else rows
+
+    # Metadata-filter sets beyond this many doc_ids are not pinned driver-
+    # side; the filtered query falls back to the distributed semi-join plan.
+    MAX_DRIVER_FILTER_DOCS = 2_000_000
 
     def fetch(self, topk: DataFrame, cols: list[str] | None = None) -> DataFrame:
         """Row-fetch phase (reference J9/J10: rowid point-lookup after the
@@ -266,7 +317,11 @@ class InvertedIndex:
             )
         if self._local_reader is not None and self._term_lookup is not None:
             # serving tier: answer the batch driver-side (same kernel, same
-            # results); only hot / over-cap queries touch Spark
+            # results); only hot / over-cap queries touch Spark. Batch-scale
+            # callers (ADVICE r04): past MAX_DRIVER_QUERIES the collect is
+            # abandoned and the WHOLE batch keeps the distributed pruned
+            # plan — a served index must not silently serialize a batch
+            # workload through a single-threaded driver loop.
             from ..operators.topk import (
                 MAX_BLOCKS_PER_TERM,
                 TOPK_SCHEMA,
@@ -274,8 +329,15 @@ class InvertedIndex:
             )
             from .serving import topk_local
 
+            qrows = queries.limit(self.MAX_DRIVER_QUERIES + 1).collect()
+            if len(qrows) > self.MAX_DRIVER_QUERIES:
+                return query_topk_pruned(
+                    postings, terms, queries, self.n_docs, self.avgdl,
+                    term_lookup=self._term_lookup, n_buckets=self.n_buckets,
+                    scan=scan,
+                )
             res, spark_qids = topk_local(
-                self._local_reader, queries.collect(), self._term_lookup,
+                self._local_reader, qrows, self._term_lookup,
                 self.n_docs, self.avgdl, _hot_df_threshold(MAX_BLOCKS_PER_TERM),
             )
             out = (
@@ -299,11 +361,55 @@ class InvertedIndex:
 
     def topk_filtered(self, queries: DataFrame, allowed_docs: DataFrame) -> DataFrame:
         """Faceted search: BM25 top-k restricted to ``allowed_docs`` (doc_id
-        frame, e.g. ``idx.docstats.filter(...)``); global scoring stats."""
+        frame, e.g. ``idx.docstats.filter(...)``); global scoring stats.
+
+        Serve mode (VERDICT r04 #5): with a pinned reader and a filter set
+        within ``MAX_DRIVER_FILTER_DOCS``, the whole query answers driver-
+        side (decoded candidate rows ∩ allowed set, exact scoring) — hot /
+        over-cap queries and batch-scale inputs keep the distributed plan."""
         from ..operators.topk import query_topk_filtered
 
         postings = self._postings_cached if self._postings_cached is not None else self.postings
         terms = self._terms_cached if self._terms_cached is not None else self.terms
+        sources = self._serving_source()
+        if sources is not None:
+            qrows = self._collect_capped(queries, self.MAX_DRIVER_QUERIES)
+            arows = (
+                self._collect_capped(
+                    allowed_docs.select("doc_id"), self.MAX_DRIVER_FILTER_DOCS
+                )
+                if qrows is not None
+                else None
+            )
+            if qrows is not None and arows is not None:
+                import numpy as np
+
+                from ..operators.topk import (
+                    MAX_BLOCKS_PER_TERM,
+                    TOPK_SCHEMA,
+                    _hot_df_threshold,
+                )
+                from .serving import filtered_topk_local
+
+                res, spark_qids = filtered_topk_local(
+                    sources, qrows, self.n_docs, self.avgdl,
+                    _hot_df_threshold(MAX_BLOCKS_PER_TERM),
+                    np.array([r["doc_id"] for r in arows], dtype=np.int64),
+                )
+                out = (
+                    self.spark.createDataFrame(res, schema=TOPK_SCHEMA)
+                    if len(res)
+                    else self.spark.createDataFrame([], TOPK_SCHEMA)
+                )
+                if spark_qids:
+                    rest = query_topk_filtered(
+                        postings, terms,
+                        queries.filter(F.col("query_id").isin(spark_qids)),
+                        self.n_docs, self.avgdl, allowed_docs,
+                        n_buckets=self.n_buckets, scan=self._manifest_scan(),
+                    )
+                    out = out.unionByName(rest)
+                return out
         return query_topk_filtered(
             postings, terms, queries, self.n_docs, self.avgdl, allowed_docs,
             n_buckets=self.n_buckets, scan=self._manifest_scan(),
@@ -331,16 +437,145 @@ class InvertedIndex:
     ) -> DataFrame:
         """Boolean (must / must_not) search, BM25-ranked — see
         ``operators.topk.query_topk_boolean``. ``allowed_docs`` composes a
-        metadata facet with the boolean predicate."""
+        metadata facet with the boolean predicate.
+
+        Serve mode (VERDICT r04 #5): the must-count / NOT-veto tail is
+        pandas-sized after the block fetch, so a served index answers
+        boolean queries driver-side (``serving.boolean_local`` — same math,
+        rounding, tie-breaks); hot / over-cap queries keep the distributed
+        single-pass plan."""
         from ..operators.topk import query_topk_boolean
 
         postings = self._postings_cached if self._postings_cached is not None else self.postings
         terms = self._terms_cached if self._terms_cached is not None else self.terms
+        sources = self._serving_source()
+        if sources is not None and allowed_docs is None:
+            qrows = self._collect_capped(queries, self.MAX_DRIVER_QUERIES)
+            if qrows is not None:
+                from ..operators.topk import (
+                    MAX_BLOCKS_PER_TERM,
+                    TOPK_SCHEMA,
+                    _hot_df_threshold,
+                )
+                from .serving import boolean_local
+
+                res, spark_qids = boolean_local(
+                    sources, qrows, self.n_docs, self.avgdl,
+                    _hot_df_threshold(MAX_BLOCKS_PER_TERM),
+                )
+                out = (
+                    self.spark.createDataFrame(res, schema=TOPK_SCHEMA)
+                    if len(res)
+                    else self.spark.createDataFrame([], TOPK_SCHEMA)
+                )
+                if spark_qids:
+                    rest = query_topk_boolean(
+                        postings, terms,
+                        queries.filter(F.col("query_id").isin(spark_qids)),
+                        self.n_docs, self.avgdl, n_buckets=self.n_buckets,
+                        scan=self._manifest_scan(),
+                    )
+                    out = out.unionByName(rest)
+                return out
         return query_topk_boolean(
             postings, terms, queries, self.n_docs, self.avgdl,
             n_buckets=self.n_buckets, scan=self._manifest_scan(),
             allowed_docs=allowed_docs,
         )
+
+    def phrase(self, phrases: DataFrame, k: int = 10) -> DataFrame:
+        """Exact phrase search over a POSITIONAL index. Serve mode decodes
+        the phrase terms' position streams driver-side and intersects them
+        in numpy (``serving.phrase_local``) — zero Spark jobs; otherwise
+        (or for hot phrase tokens) the distributed ordinal-shift plan runs
+        (``operators.topk.query_phrase_indexed``)."""
+        from ..operators.topk import query_phrase_indexed
+
+        if not self.positional:
+            raise ValueError(
+                "phrase search needs a positional index "
+                "(build_index(positional=True))"
+            )
+        sources = self._serving_source()
+        if sources is not None and self._local_pos_reader is not None:
+            qrows = self._collect_capped(phrases, self.MAX_DRIVER_QUERIES)
+            if qrows is not None:
+                from ..operators.topk import MAX_BLOCKS_PER_TERM, _hot_df_threshold
+                from .serving import phrase_local
+
+                res, spark_qids = phrase_local(
+                    sources, qrows, k=k,
+                    hot_df=_hot_df_threshold(MAX_BLOCKS_PER_TERM),
+                )
+                schema = "query_id long, rank int, doc_id long, n_matches int"
+                out = (
+                    self.spark.createDataFrame(res, schema=schema)
+                    if len(res)
+                    else self.spark.createDataFrame([], schema)
+                )
+                if spark_qids:
+                    rest = query_phrase_indexed(
+                        self.postings, self.terms,
+                        phrases.filter(F.col("query_id").isin(spark_qids)),
+                        n_buckets=self.n_buckets, k=k,
+                        scan=self._manifest_scan(),
+                    )
+                    out = out.unionByName(rest)
+                return out
+        return query_phrase_indexed(
+            self.postings, self.terms, phrases, n_buckets=self.n_buckets,
+            k=k, scan=self._manifest_scan(),
+        )
+
+    def snippets(
+        self, queries: DataFrame, width: int = 5, docs: DataFrame | None = None
+    ) -> DataFrame:
+        """Hit highlighting for the BM25 top-k of ``queries``. Serve mode
+        (``serve(docs_source=...)``) runs end-to-end driver-side: local
+        top-k -> direct parquet point-fetch of the hit docs -> window
+        extraction (``serving.snippets_local``); any hot/over-cap query
+        falls the whole call back to the distributed pipeline
+        (``operators.textstats.snippets``)."""
+        from ..operators.textstats import snippets as snippets_op
+
+        sources = self._serving_source()
+        if sources is not None and self._docs_source is not None:
+            qrows = self._collect_capped(queries, self.MAX_DRIVER_QUERIES)
+            if qrows is not None:
+                from ..operators.topk import MAX_BLOCKS_PER_TERM, _hot_df_threshold
+                from .serving import snippets_local, topk_local_multi
+
+                hits, spark_qids = topk_local_multi(
+                    sources, qrows, self.n_docs, self.avgdl,
+                    _hot_df_threshold(MAX_BLOCKS_PER_TERM),
+                )
+                if not spark_qids:
+                    res = snippets_local(
+                        self._docs_source, qrows,
+                        hits.to_dict("records"), width=width,
+                        id_col=self._docs_id_col, text_col=self._docs_text_col,
+                    )
+                    schema = (
+                        "query_id long, doc_id long, rank int, "
+                        "first_pos long, snippet string"
+                    )
+                    return (
+                        self.spark.createDataFrame(res, schema=schema)
+                        if len(res)
+                        else self.spark.createDataFrame([], schema)
+                    )
+        if docs is None:
+            if self._docs_source is None:
+                raise ValueError(
+                    "snippets needs the corpus: pass docs= or serve(docs_source=...)"
+                )
+            docs = self.spark.read.parquet(self._docs_source)
+            if self._docs_id_col != "doc_id":
+                docs = docs.withColumnRenamed(self._docs_id_col, "doc_id")
+            if self._docs_text_col != "text":
+                docs = docs.withColumnRenamed(self._docs_text_col, "text")
+        return snippets_op(docs, queries, self.topk(queries, mode="pruned"),
+                           width=width)
 
 
 def _build_postings_grouped(
@@ -353,6 +588,8 @@ def _build_postings_grouped(
     n_docs: int,
     out: str,
     groups: int,
+    doc_id_range: tuple[int, int] | None = None,
+    n_terms: int | None = None,
 ) -> None:
     """Postings stage in ``groups`` bucket-group jobs with per-group resume.
 
@@ -387,6 +624,7 @@ def _build_postings_grouped(
             blocks = build_postings(
                 tf, terms, avgdl, n_buckets, partitions, n_docs=n_docs,
                 bucket_mod=(g, groups),
+                doc_id_range=doc_id_range, n_terms=n_terms,
             )
             blocks.write.mode("append").partitionBy("bucket").parquet(out)
             open(marker(g), "w").close()
@@ -582,10 +820,20 @@ def build_index(
     terms = spark.read.parquet(p["terms"])
 
     # stage 4: meta (needed by postings for block-max) ----------------------
+    # min/max doc_id ride the same agg job: they PROVE (or refute) that the
+    # id space fits int32, which lets the postings stage narrow doc_id
+    # before its exchange (VERDICT r04 #1a — the build's biggest shuffle)
     row = docstats.agg(
-        F.count(F.lit(1)).alias("n"), F.avg("doclen").alias("avgdl")
+        F.count(F.lit(1)).alias("n"), F.avg("doclen").alias("avgdl"),
+        F.min("doc_id").alias("dmin"), F.max("doc_id").alias("dmax"),
     ).collect()[0]
     n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
+    doc_id_range = (
+        (int(row["dmin"]), int(row["dmax"])) if row["dmin"] is not None else None
+    )
+    # term_id = rank of term, so the dictionary size bounds it exactly;
+    # parquet row-count comes from footers (no scan)
+    n_terms = terms.count()
 
     # stage 5: postings ------------------------------------------------------
     if not _done(p["postings"]):
@@ -593,7 +841,10 @@ def build_index(
         shutil.rmtree(os.path.join(out_dir, "manifest"), ignore_errors=True)
         if postings_groups <= 1 or n_docs == 0:
             def s5():
-                blocks = build_postings(tf, terms, avgdl, n_buckets, partitions, n_docs=n_docs)
+                blocks = build_postings(
+                    tf, terms, avgdl, n_buckets, partitions, n_docs=n_docs,
+                    doc_id_range=doc_id_range, n_terms=n_terms,
+                )
                 w = blocks.write.mode("overwrite")
                 if n_docs > 0:
                     w = w.partitionBy("bucket")
@@ -608,6 +859,7 @@ def build_index(
                 _build_postings_grouped(
                     spark, tf, terms, avgdl, n_buckets, partitions, n_docs,
                     p["postings"], postings_groups,
+                    doc_id_range=doc_id_range, n_terms=n_terms,
                 )
                 return -1
 

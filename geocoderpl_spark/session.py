@@ -33,7 +33,11 @@ def get_spark(
     # for the multi-executor (separate JVM per executor) scaling rendition;
     # {cpus} in the template is substituted. Executors then need PYTHONPATH
     # to reach the package (same box, no --py-files ship).
-    master = os.environ.get("GRAFT_MASTER", "local[{cpus}]").format(cpus=cpus)
+    # .replace, not .format: a master URL with literal braces (e.g. a
+    # local-cluster memory spec) must pass through verbatim (ADVICE r04)
+    master = os.environ.get("GRAFT_MASTER", "local[{cpus}]").replace(
+        "{cpus}", str(cpus)
+    )
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)

@@ -437,3 +437,48 @@ def test_ivf_index_param_change_rebuilds(spark, tmp_path):
     assert len(a._centroids) == 8
     b = build_ivf_index(spark, emb, root, dim=64, n_centroids=12)
     assert len(b._centroids) == 12  # rebuilt, not resumed
+
+
+def test_ngram_jaccard_cap_is_default_on(spark):
+    """VERDICT r04 #7: the hot-shingle cap defaults ON ("auto" = max(64,
+    1% of corpus)); the uncapped quadratic path needs an EXPLICIT
+    max_shingle_df=None opt-in."""
+    from geocoderpl_spark.operators.dedup import ngram_jaccard_pairs
+
+    hot = "common boiler plate header"
+    # 68 docs all sharing the hot boilerplate shingles (df=68 > auto cap 64);
+    # docs 200/201 consist ONLY of hot shingles -> their duplicate pair is
+    # discoverable solely through a hot shingle
+    rows = [(i, f"{hot} tail{i}a tail{i}b tail{i}c") for i in range(66)]
+    rows += [(200, hot), (201, hot)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = {(r.doc_a, r.doc_b)
+              for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()}
+    assert (200, 201) not in capped  # auto cap dropped the hot shingles
+
+    uncapped = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(
+        docs, n=3, threshold=0.5, max_shingle_df=None
+    ).collect()}
+    assert (200, 201) in uncapped  # explicit opt-out restores lossless pairing
+
+
+def test_assign_dense_ids_rejects_duplicate_keys(spark):
+    """ADVICE r04: a duplicate natural key would fan payload rows out at the
+    rank join-back — the operator must fail loudly, not multiply rows."""
+    import pytest
+
+    from geocoderpl_spark.operators.docids import assign_dense_ids
+
+    ok = spark.createDataFrame(
+        [("a", 1, "x"), ("b", 2, "y")], "k string, v int, payload string"
+    )
+    got = assign_dense_ids(ok, ["k", "v"]).collect()
+    assert sorted(r.doc_id for r in got) == [0, 1]
+
+    dup = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 1, "y"), ("b", 2, "z")],
+        "k string, v int, payload string",
+    )
+    with pytest.raises(ValueError, match="not unique"):
+        assign_dense_ids(dup, ["k", "v"])

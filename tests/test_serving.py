@@ -444,3 +444,195 @@ def test_positional_streaming_segments(spark, tmp_path):
     assert sorted(map(tuple, got2.values.tolist())) == sorted(
         map(tuple, got.values.tolist())
     )
+
+
+# ---------------------------------------------------------------------------
+# round-5 serve-mode surface (VERDICT r04 #4/#5/#6)
+# ---------------------------------------------------------------------------
+
+
+def _no_jobs(spark, fn):
+    """Assert fn() launches ZERO Spark jobs; returns its result."""
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    out = fn()
+    after = tracker.getJobIdsForGroup(None)
+    assert list(before) == list(after), "serve path ran a Spark job"
+    return out
+
+
+def _sorted_pdf(df, cols=("query_id", "rank")):
+    return df.toPandas().sort_values(list(cols)).reset_index(drop=True)
+
+
+def test_boolean_serve_matches_distributed_and_jobless(spark, sidx):
+    from geocoderpl_spark.operators.topk import (
+        MAX_BLOCKS_PER_TERM,
+        _hot_df_threshold,
+        query_topk_boolean,
+    )
+    from geocoderpl_spark.plans.serving import boolean_local
+
+    idx, _ = sidx
+    idx.serve()
+    q = spark.createDataFrame(
+        BOOL_QUERIES, "query_id long, must string, must_not string, k int"
+    )
+    dist = _sorted_pdf(query_topk_boolean(
+        idx.postings, idx.terms, q, idx.n_docs, idx.avgdl,
+        n_buckets=idx.n_buckets,
+    ))
+    served = _sorted_pdf(idx.topk_boolean(q))
+    assert served.equals(dist) and len(dist) > 0
+    qrows = q.collect()
+    res, spark_qids = _no_jobs(spark, lambda: boolean_local(
+        idx._serving_source(), qrows, idx.n_docs, idx.avgdl,
+        _hot_df_threshold(MAX_BLOCKS_PER_TERM),
+    ))
+    assert spark_qids == []
+    got = res.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert list(got.doc_id) == list(dist.doc_id)
+    assert list(got.score) == list(dist.score)
+
+
+def test_filtered_serve_matches_distributed_and_jobless(spark, sidx):
+    import numpy as np
+
+    from geocoderpl_spark.operators.topk import (
+        MAX_BLOCKS_PER_TERM,
+        _hot_df_threshold,
+        query_topk_filtered,
+    )
+    from geocoderpl_spark.plans.serving import filtered_topk_local
+
+    idx, docs = sidx
+    idx.serve()
+    allowed = docs.select("doc_id").filter(F.pmod("doc_id", F.lit(2)) == 0)
+    dist = _sorted_pdf(query_topk_filtered(
+        idx.postings, idx.terms, _qdf(spark), idx.n_docs, idx.avgdl,
+        allowed, n_buckets=idx.n_buckets,
+    ))
+    served = _sorted_pdf(idx.topk_filtered(_qdf(spark), allowed))
+    assert served.equals(dist) and len(dist) > 0
+    qrows = _qdf(spark).collect()
+    aids = np.array([r["doc_id"] for r in allowed.collect()], dtype=np.int64)
+    res, spark_qids = _no_jobs(spark, lambda: filtered_topk_local(
+        idx._serving_source(), qrows, idx.n_docs, idx.avgdl,
+        _hot_df_threshold(MAX_BLOCKS_PER_TERM), aids,
+    ))
+    assert spark_qids == []
+    got = res.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert list(got.doc_id) == list(dist.doc_id)
+    assert list(got.score) == list(dist.score)
+
+
+PHRASES = [
+    (0, "term_0001 term_0002"),
+    (1, "the_hot_term the_hot_term"),
+    (2, "camelCaseFoo"),
+    (3, "term_0001 zz_unknown"),
+]
+
+
+def test_phrase_serve_matches_distributed_and_jobless(spark, sidx):
+    from geocoderpl_spark.operators.topk import query_phrase_indexed
+    from geocoderpl_spark.plans.serving import phrase_local
+
+    idx, _ = sidx
+    idx.serve()
+    p = spark.createDataFrame(PHRASES, "query_id long, phrase_text string")
+    dist = _sorted_pdf(query_phrase_indexed(
+        idx.postings, idx.terms, p, n_buckets=idx.n_buckets, k=10
+    ))
+    served = _sorted_pdf(idx.phrase(p, k=10))
+    assert served.equals(dist) and len(dist) > 0
+    prows = p.collect()
+    res, spark_qids = _no_jobs(spark, lambda: phrase_local(
+        idx._serving_source(), prows, k=10
+    ))
+    assert spark_qids == []
+    got = res.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert list(got.doc_id) == list(dist.doc_id)
+    assert list(got.n_matches) == list(dist.n_matches)
+
+
+def test_snippets_serve_matches_distributed(spark, sidx, tmp_path_factory):
+    from geocoderpl_spark.operators.textstats import snippets as snippets_op
+
+    idx, docs = sidx
+    docs_path = str(tmp_path_factory.mktemp("snipdocs") / "docs.parquet")
+    docs.write.mode("overwrite").parquet(docs_path)
+    idx.serve(docs_source=docs_path, docs_text_col="content")
+    q = _qdf(spark)
+    dist = _sorted_pdf(
+        snippets_op(docs, q, idx.topk(q, mode="pruned"), width=5,
+                    text_col="content"),
+        cols=("query_id", "rank", "doc_id"),
+    )
+    served = _sorted_pdf(idx.snippets(q, width=5),
+                         cols=("query_id", "rank", "doc_id"))
+    assert list(served.doc_id) == list(dist.doc_id)
+    assert list(served.first_pos) == list(dist.first_pos)
+    assert list(served.snippet) == list(dist.snippet)
+    assert len(dist) > 0
+
+
+def test_served_batch_guard_routes_distributed(spark, sidx, monkeypatch):
+    """A served index must route a batch-scale query set to the distributed
+    pruned plan, never a driver loop (ADVICE r04)."""
+    from geocoderpl_spark.plans.build import InvertedIndex
+
+    idx, _ = sidx
+    idx.serve()
+    exact = _sorted_pdf(idx.topk(_qdf(spark), mode="exact"))
+    monkeypatch.setattr(InvertedIndex, "MAX_DRIVER_QUERIES", 2)
+    routed = _sorted_pdf(idx.topk(_qdf(spark), mode="pruned"))
+    assert routed.equals(exact)
+
+
+def test_segmented_serve_rank_identical_and_jobless(spark, sidx, segidx):
+    from geocoderpl_spark.operators.topk import (
+        MAX_BLOCKS_PER_TERM,
+        _hot_df_threshold,
+    )
+    from geocoderpl_spark.plans.serving import topk_local_multi
+
+    idx, _ = sidx
+    exact = _sorted_pdf(idx.topk(_qdf(spark), mode="exact"))
+    segidx.serve()
+    assert segidx._sources is not None and len(segidx._sources) == 3
+    served = _sorted_pdf(segidx.topk_pruned(_qdf(spark)))
+    assert served.equals(exact) and len(exact) > 0
+    qrows = _qdf(spark).collect()
+    n_docs, avgdl = segidx._serve_stats
+    res, spark_qids = _no_jobs(spark, lambda: topk_local_multi(
+        segidx._sources, qrows, n_docs, avgdl,
+        _hot_df_threshold(MAX_BLOCKS_PER_TERM),
+    ))
+    assert spark_qids == []
+    got = res.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert list(got.doc_id) == list(exact.doc_id)
+    assert list(got.score) == list(exact.score)
+
+
+def test_ivf_serve_matches_spark_and_jobless(spark, tmp_path):
+    from geocoderpl_spark.plans.ann_index import build_ivf_index
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = build_ivf_index(spark, emb, str(tmp_path / "ivf_serve"), dim=64)
+    probes = [0, 1, 2, 3, 4]
+    spark_res = sorted(tuple(r) for r in idx.topk(probes, k=5).collect())
+    idx.serve()
+    from geocoderpl_spark.operators.similarity import IVF_NPROBE
+
+    local = _no_jobs(spark, lambda: idx._topk_local(probes, 5, IVF_NPROBE, None))
+    assert local is not None
+    got = sorted(
+        (int(a), int(b), int(c), float(d))
+        for a, b, c, d in zip(local["probe_id"], local["rank"],
+                              local["vec_id"], local["cos"])
+    )
+    assert got == spark_res and len(got) == 25
+    # end-to-end served call returns the same frame
+    e2e = sorted(tuple(r) for r in idx.topk(probes, k=5).collect())
+    assert e2e == spark_res
