@@ -899,12 +899,14 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL media decode end-to-end (VERDICT r02 #4): valid RIFF/WAVE 16-bit
-    PCM and binary PPM P6 files are synthesized from integer formulas, then
+    """REAL media decode end-to-end (VERDICT r02 #4; video added r5): valid
+    RIFF/WAVE 16-bit PCM, binary PPM P6, and RIFF/AVI uncompressed-DIB
+    files are synthesized from integer formulas, then
     decode_features(real_decode=True) parses the BYTES (chunk walk /
-    header parse) and emits window-mean features. The oracle recomputes the
-    features from the FORMULAS — the two agree only if header layout,
-    endianness, chunk alignment, and windowing are all decoded correctly."""
+    header parse / bottom-up de-striding) and emits window-mean features.
+    The oracle recomputes the features from the FORMULAS — the two agree
+    only if header layout, endianness, chunk alignment, row order, stride
+    padding, and windowing are all decoded correctly."""
     from geocoderpl_spark.operators.multimodal import decode_features, synth_real_media
 
     out = decode_features(synth_real_media(spark, 60), real_decode=True)
@@ -1432,7 +1434,7 @@ WITH nums AS (SELECT unnest(range(60)) AS media_id),
 aud AS (
   SELECT media_id, unnest(range(256 + media_id % 64)) AS i,
          256 + media_id % 64 AS ns
-  FROM nums WHERE media_id % 2 = 0
+  FROM nums WHERE media_id % 3 = 0
 ),
 audf AS (
   SELECT media_id, (i * 32) // ns AS feat_idx,
@@ -1444,18 +1446,33 @@ img AS (
   SELECT media_id,
          unnest(range((8 + media_id % 8) * (8 + media_id % 5) * 3)) AS i,
          (8 + media_id % 8) * (8 + media_id % 5) * 3 AS n
-  FROM nums WHERE media_id % 2 = 1
+  FROM nums WHERE media_id % 3 = 1
 ),
 imgf AS (
   SELECT media_id, (i * 32) // n AS feat_idx,
          sum((media_id * 31 + i * 37) % 256)::BIGINT AS s, count(*) AS c
   FROM img GROUP BY media_id, (i * 32) // n
+),
+vid AS (
+  SELECT media_id,
+         unnest(range((2 + media_id % 3) * (8 + media_id % 5)
+                      * (4 + media_id % 4) * 3)) AS i,
+         (2 + media_id % 3) * (8 + media_id % 5) * (4 + media_id % 4) * 3 AS n
+  FROM nums WHERE media_id % 3 = 2
+),
+vidf AS (
+  SELECT media_id, (i * 32) // n AS feat_idx,
+         sum((media_id * 13 + i * 29) % 256)::BIGINT AS s, count(*) AS c
+  FROM vid GROUP BY media_id, (i * 32) // n
 )
 SELECT media_id, 'audio' AS kind, feat_idx::INT AS feat_idx,
        round(s / (32768.0 * c), 6) AS value FROM audf
 UNION ALL
 SELECT media_id, 'image' AS kind, feat_idx::INT AS feat_idx,
        round(s / (127.5 * c) - 1.0, 6) AS value FROM imgf
+UNION ALL
+SELECT media_id, 'video' AS kind, feat_idx::INT AS feat_idx,
+       round(s / (127.5 * c) - 1.0, 6) AS value FROM vidf
 """,
         "mm_frame_sample": """
 WITH m AS (

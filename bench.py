@@ -7,20 +7,30 @@ Headline metrics (BASELINE.md targets):
   only parallelism varies). Protocol per the north_rule's sandbox
   rendition: each parallelism level runs in a FRESH process (cold JVMs
   bias the second session) with a small warmup build first (JIT +
-  python-worker spin-up excluded). Headline pair: local[2] -> local[8].
-  Each level also times a register-only JVM control job; its scaling is
-  the ceiling this virtualized host permits at all (measured ~0.88 for
-  2->8, ~0.67 for 8->32 — vCPU oversubscription), and the JSON reports
-  build efficiency both raw and normalized by that ceiling. Real
-  multi-executor scaling adds memory channels per node, which no
-  single-box thread experiment can reproduce (the round-1
-  local-cluster[4,8] negative result in BASELINE.md).
+  python-worker spin-up excluded). Headline pair: 2 vs 8 single-core
+  EXECUTOR JVMs (local-cluster, taskset-pinned) at ~1M docs.
 - BM25 top-k query latency (p50 over repetitions of the reference query
-  set) against the compressed index, pruned (MaxScore) path.
+  set) against the compressed index, pruned (MaxScore) path; single-query
+  serving p50 through the driver-side tier (target <50 ms), including the
+  segmented (LSM) and IVF serving paths added in r5.
 - representative pipeline ops at sf: dedup minhash-LSH, ANN cosine top-k.
 
+Protocol hardening (r5, VERDICT r04 #3 — self-adjudicating vs host drift):
+- The query suite runs FIRST, before any scaling build touches the page
+  cache / heap (the r4 driver run interleaved it with 600+ s of 1M-doc
+  builds and read 1.7-2.6x slow with no way to attribute it).
+- Every query metric is bracketed by a per-metric CONTROL (a fixed
+  register-only Spark job + a fixed single-core python loop) published
+  raw in ``query_controls``; ``queries_normalized`` rescales each wall by
+  control/nominal so a drifted host run is directly comparable to the
+  repo's recorded draws. Nominals were calibrated on an idle host
+  (NOMINAL_* below).
+- The exec pair publishes per-rep build AND control walls; reps whose
+  control exceeds 1.25x the level minimum are flagged ``drift_gated`` and
+  a secondary gated efficiency over the clean reps is reported.
+
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), SPARK_GRAFT_CPUS
-(default 32), BENCH_DOCS (default 100000).
+(default 32), BENCH_DOCS (default 200000).
 """
 
 from __future__ import annotations
@@ -48,12 +58,20 @@ SCALE_LEVELS = (2, 8, min(32, CPUS))
 # IPC) that separate executor JVMs do not share, which is why this pair —
 # not local[N] threads — is the honest multi-executor evidence. 0 disables.
 SCALE_LARGE_DOCS = int(os.environ.get("BENCH_SCALE_LARGE_DOCS", "1000000"))
-SCALE_LARGE_REPS = int(os.environ.get("BENCH_SCALE_LARGE_REPS", "2"))
+SCALE_LARGE_REPS = int(os.environ.get("BENCH_SCALE_LARGE_REPS", "3"))
 EXEC_MASTER = "local-cluster[{cpus},1,6144]"
 # the sandbox host drifts +-30-40% across minutes (invisible to the guest:
 # no steal ticks); interleaved reps + best-of per level sample the fast
 # windows for every level. Raw per-rep walls are published in the JSON.
 SCALE_REPS = {2: 2, 8: 3, 32: 3}  # 32 drifts hardest: best-of needs samples
+
+# host control nominals (median of repeated probes on this VM — the host
+# itself drifts +-30-40%, so these are a FIXED yardstick, not a truth):
+# register-only Spark job over 4e8 xxhash64 rows at 4x-cpus partitions,
+# and a fixed 2e6-iteration single-core python loop.
+NOMINAL_SPARK_CTRL_MS = 300.0
+NOMINAL_PY_CTRL_MS = 80.0
+DRIFT_GATE = 1.25  # control wall beyond this x level-min flags the rep
 
 
 def _spark(cpus: int):
@@ -63,6 +81,26 @@ def _spark(cpus: int):
     # spin up python workers before any timed section
     s.range(0, cpus * 10, 1, cpus).mapInPandas(lambda it: it, schema="id long").count()
     return s
+
+
+def _control(spark) -> dict[str, float]:
+    """Per-metric host control: fixed register-only Spark job + fixed
+    single-core python loop. Both are compute-only (no IO, no Python
+    workers, no memory traffic), so their walls track host-CPU drift and
+    nothing else."""
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    spark.range(0, 400_000_000, 1, CPUS * 4).select(
+        F.sum(F.xxhash64("id") % 1000)
+    ).collect()
+    sj = (time.time() - t0) * 1000
+    t0 = time.time()
+    acc = 0
+    for i in range(2_000_000):
+        acc += i
+    py = (time.time() - t0) * 1000
+    return {"spark_ms": round(sj, 1), "py_ms": round(py, 1)}
 
 
 def _build_once(cpus: int, corpus_path: str) -> None:
@@ -104,13 +142,142 @@ def _build_once(cpus: int, corpus_path: str) -> None:
 def main() -> None:
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
+    controls: dict[str, dict[str, float]] = {}
 
     spark = _spark(CPUS)
+
+    def timed(name: str, fn, reps: int = 1, warm=None):
+        """Control-bracketed metric: control probe immediately before the
+        timed section; best/median-of-reps wall recorded raw."""
+        if warm is not None:
+            warm()
+        controls[name] = _control(spark)
+        walls = []
+        for _ in range(reps):
+            t0 = time.time()
+            fn()
+            walls.append(time.time() - t0)
+        w = statistics.median(walls) if reps > 1 else walls[0]
+        timings[name] = round(w, 3)
+        return w
+
+    # ---- query suite FIRST (VERDICT r04 #3): no 600 s of scaling builds
+    # have touched the page cache / JVM heap yet -----------------------------
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    idx = entrymod._index_for(spark, SF_DIR)
+    timings["build_documents_index"] = round(time.time() - t0, 3)
+
+    qdf = entrymod._bm25_queries_df(spark)
+    idx.serve()  # pin dictionary + postings (serving mode)
+
+    lat = []
+    controls["bm25_queryset_p50"] = _control(spark)
+    idx.topk(qdf, mode="pruned").collect()  # warm
+    for _ in range(7):
+        t0 = time.time()
+        idx.topk(qdf, mode="pruned").collect()
+        lat.append(time.time() - t0)
+    timings["bm25_queryset_p50"] = round(statistics.median(lat), 3)
+    extra["bm25_query_p50_ms"] = round(
+        statistics.median(lat) / len(entrymod.BM25_QUERIES) * 1000, 1
+    )
+
+    # single-query serving latency through the REAL serving entry point
+    # (InvertedIndex.query -> driver-side tier, zero Spark jobs): per-query
+    # walls with the result cache cleared each rep — cold-path p50, the
+    # number comparable to the reference GUI's per-keystroke answer
+    controls["bm25_single_query"] = _control(spark)
+    singles = []
+    for _ in range(5):
+        idx._query_cache = {}
+        for _qid, qtext, k in entrymod.BM25_QUERIES:
+            t0 = time.time()
+            idx.query(qtext, k)
+            singles.append(time.time() - t0)
+    extra["bm25_single_query_p50_ms"] = round(
+        statistics.median(singles) * 1000, 2
+    )
+
+    # segmented (LSM) serving p50 (r5 #4): the same driver tier over the
+    # 3-segment index — the continuously-ingesting deployment's shape
+    seg = entrymod._seg_index_for(spark, SF_DIR)
+    seg.serve()
+    if seg._sources is not None:
+        controls["seg_single_query"] = _control(spark)
+        seg_singles = []
+        for _ in range(5):
+            seg._query_cache = {}
+            for _qid, qtext, k in entrymod.BM25_QUERIES:
+                t0 = time.time()
+                seg.query(qtext, k)
+                seg_singles.append(time.time() - t0)
+        extra["seg_single_query_p50_ms"] = round(
+            statistics.median(seg_singles) * 1000, 2
+        )
+
+    # IVF ANN serving p50 (r5 #6): pinned centroids + per-list manifest ->
+    # zero-job nprobe + numpy rerank; target <50 ms per point query
+    ivf = entrymod._ivf_index_for(spark, SF_DIR)
+    ivf.serve()
+    controls["ann_ivf_serve"] = _control(spark)
+    ivf.topk([0], k=entrymod.ANN_K).collect()  # warm
+    ivf_lat = []
+    for _ in range(3):
+        for pid in entrymod.ANN_PROBES:
+            t0 = time.time()
+            ivf.topk([pid], k=entrymod.ANN_K).collect()
+            ivf_lat.append(time.time() - t0)
+    extra["ann_ivf_serve_p50_ms"] = round(
+        statistics.median(ivf_lat) * 1000, 2
+    )
+
+    # ---- batch query throughput: 200-query set through the exact path ------
+    vocab = [r["term"] for r in idx.terms.select("term").orderBy(F.desc("df")).limit(300).collect()]
+    batch = [
+        (i, " ".join(vocab[(i * 7 + j) % len(vocab)] for j in range(1 + i % 4)), 10)
+        for i in range(200)
+    ]
+    bq = spark.createDataFrame(batch, "query_id long, query_text string, k int")
+    n_res = [0]
+
+    def run_batch():
+        n_res[0] = idx.topk(bq, mode="exact").count()
+
+    dt = timed("bm25_batch200_exact", run_batch,
+               warm=lambda: idx.topk(bq, mode="exact").count())
+    extra["bm25_batch_queries_per_sec"] = round(200 / dt, 1)
+    extra["bm25_batch_result_rows"] = n_res[0]
+
+    # ---- representative pipeline ops at sf ---------------------------------
+    for name in ("dedup_minhash_lsh", "ann_cosine_topk", "rel_agg_pricing"):
+        fn = entrymod.queries()[name]
+        timed(name, lambda fn=fn: fn(spark, SF_DIR).collect())
+
+    # normalized walls: wall * nominal/control — the drift-adjusted number
+    # directly comparable across runs (raw stays the primary record)
+    extra["query_controls"] = controls
+    extra["queries_normalized"] = {
+        n: round(timings[n] * NOMINAL_SPARK_CTRL_MS / controls[n]["spark_ms"], 3)
+        for n in timings
+        if n in controls and controls[n]["spark_ms"] > 0
+    }
+
+    # ---- corpora for the scaling sections (written AFTER the query suite) --
     from geocoderpl_spark.sources.corpus import synth_corpus
 
     corpus_path = os.path.join(tempfile.gettempdir(), f"bench_corpus_{N_DOCS}")
     if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
         synth_corpus(spark, N_DOCS, partitions=CPUS * 2).write.mode("overwrite").parquet(corpus_path)
+    big_corpus = os.path.join(
+        tempfile.gettempdir(), f"bench_corpus_{SCALE_LARGE_DOCS}"
+    )
+    if SCALE_LARGE_DOCS and not os.path.exists(os.path.join(big_corpus, "_SUCCESS")):
+        synth_corpus(spark, SCALE_LARGE_DOCS, partitions=64).write.mode(
+            "overwrite"
+        ).parquet(big_corpus)
     spark.stop()
 
     # ---- scaling: same input, isolated fresh processes ----------------------
@@ -169,19 +336,11 @@ def main() -> None:
 
     # ---- north-rule pair: 2 vs 8 executors at the large build size ---------
     if SCALE_LARGE_DOCS:
-        big_corpus = os.path.join(
-            tempfile.gettempdir(), f"bench_corpus_{SCALE_LARGE_DOCS}"
-        )
-        if not os.path.exists(os.path.join(big_corpus, "_SUCCESS")):
-            spark = _spark(CPUS)
-            synth_corpus(spark, SCALE_LARGE_DOCS, partitions=64).write.mode(
-                "overwrite"
-            ).parquet(big_corpus)
-            spark.stop()
         # the 8-level is the drift-exposed one (matrix draws: 105.6 vs 203.9 s
         # same config) — give it an extra rep, like the 200k triple does
         exec_reps = {2: SCALE_LARGE_REPS, 8: SCALE_LARGE_REPS + 1}
         ewalls: dict[int, list[float]] = {2: [], 8: []}
+        ectrls: dict[int, list[float]] = {2: [], 8: []}
         for _rep in range(max(exec_reps.values())):
             for cpus in (2, 8):  # interleaved across levels, like the 200k pair
                 if _rep >= exec_reps[cpus]:
@@ -200,6 +359,8 @@ def main() -> None:
                 )
                 line = [l for l in r.stdout.splitlines()
                         if l.startswith("BUILD_SECONDS=")]
+                cline = [l for l in r.stdout.splitlines()
+                         if l.startswith("CONTROL_SECONDS=")]
                 if not line:
                     # a failed rep must not lose the whole bench JSON —
                     # record the failure and keep whatever reps completed
@@ -207,7 +368,11 @@ def main() -> None:
                           f"{r.stderr[-500:]}", file=sys.stderr)
                     continue
                 ewalls[cpus].append(round(float(line[0].split("=")[1]), 3))
+                ectrls[cpus].append(
+                    round(float(cline[0].split("=")[1]), 3) if cline else -1.0
+                )
         extra["exec_pair_rep_walls"] = {str(c): ewalls[c] for c in (2, 8)}
+        extra["exec_pair_control_walls"] = {str(c): ectrls[c] for c in (2, 8)}
         if ewalls[2] and ewalls[8]:
             et = {c: SCALE_LARGE_DOCS / min(ewalls[c]) for c in (2, 8)}
             timings[f"build_{SCALE_LARGE_DOCS}_exec2"] = min(ewalls[2])
@@ -215,69 +380,28 @@ def main() -> None:
             extra["docs_per_sec_exec2"] = round(et[2], 1)
             extra["docs_per_sec_exec8"] = round(et[8], 1)
             extra["scaling_efficiency_exec_2_to_8"] = round((et[8] / et[2]) / 4.0, 3)
-
-    # ---- query latency over the sf documents index -------------------------
-    from pyspark.sql import SparkSession
-
-    SparkSession.builder._options = {}
-    spark = _spark(CPUS)
-    import __spark_entry__ as entrymod
-
-    t0 = time.time()
-    idx = entrymod._index_for(spark, SF_DIR)
-    timings["build_documents_index"] = round(time.time() - t0, 3)
-
-    qdf = entrymod._bm25_queries_df(spark)
-    idx.serve()  # pin dictionary + postings (serving mode)
-    idx.topk(qdf, mode="pruned").collect()  # warm
-    lat = []
-    for _ in range(7):
-        t0 = time.time()
-        idx.topk(qdf, mode="pruned").collect()
-        lat.append(time.time() - t0)
-    timings["bm25_queryset_p50"] = round(statistics.median(lat), 3)
-    extra["bm25_query_p50_ms"] = round(
-        statistics.median(lat) / len(entrymod.BM25_QUERIES) * 1000, 1
-    )
-
-    # single-query serving latency through the REAL serving entry point
-    # (InvertedIndex.query -> driver-side tier, zero Spark jobs): per-query
-    # walls with the result cache cleared each rep — cold-path p50, the
-    # number comparable to the reference GUI's per-keystroke answer
-    singles = []
-    for _ in range(5):
-        idx._query_cache = {}
-        for _qid, qtext, k in entrymod.BM25_QUERIES:
-            t0 = time.time()
-            idx.query(qtext, k)
-            singles.append(time.time() - t0)
-    extra["bm25_single_query_p50_ms"] = round(
-        statistics.median(singles) * 1000, 2
-    )
-
-    # ---- batch query throughput: 200-query set through the exact path ------
-    from pyspark.sql import functions as F
-
-    vocab = [r["term"] for r in idx.terms.select("term").orderBy(F.desc("df")).limit(300).collect()]
-    batch = [
-        (i, " ".join(vocab[(i * 7 + j) % len(vocab)] for j in range(1 + i % 4)), 10)
-        for i in range(200)
-    ]
-    bq = spark.createDataFrame(batch, "query_id long, query_text string, k int")
-    idx.topk(bq, mode="exact").count()  # warm
-    t0 = time.time()
-    n_res = idx.topk(bq, mode="exact").count()
-    dt = time.time() - t0
-    timings["bm25_batch200_exact"] = round(dt, 3)
-    extra["bm25_batch_queries_per_sec"] = round(200 / dt, 1)
-    extra["bm25_batch_result_rows"] = n_res
-
-    # ---- representative pipeline ops at sf ---------------------------------
-    for name in ("dedup_minhash_lsh", "ann_cosine_topk", "rel_agg_pricing"):
-        fn = entrymod.queries()[name]
-        t0 = time.time()
-        fn(spark, SF_DIR).collect()
-        timings[name] = round(time.time() - t0, 3)
+            # drift gate (VERDICT r04 #1b): flag reps whose own register
+            # control ran >DRIFT_GATE x the level's best control — those
+            # walls were drawn from a degraded host window. A secondary
+            # efficiency over the CLEAN reps is published alongside raw.
+            gated: dict[int, list[bool]] = {}
+            for c in (2, 8):
+                valid = [x for x in ectrls[c] if x > 0]
+                cmin = min(valid) if valid else None
+                gated[c] = [
+                    (x > 0 and cmin is not None and x > DRIFT_GATE * cmin)
+                    for x in ectrls[c]
+                ]
+            extra["exec_pair_drift_gated"] = {str(c): gated[c] for c in (2, 8)}
+            clean = {
+                c: [w for w, g in zip(ewalls[c], gated[c]) if not g]
+                for c in (2, 8)
+            }
+            if clean[2] and clean[8]:
+                etc = {c: SCALE_LARGE_DOCS / min(clean[c]) for c in (2, 8)}
+                extra["scaling_efficiency_exec_2_to_8_gated"] = round(
+                    (etc[8] / etc[2]) / 4.0, 3
+                )
 
     total = round(sum(timings.values()), 3)
     print(

@@ -316,6 +316,8 @@ class IvfIndex:
         self._list_files = list_files
         self._list_rows = list_rows
         self._ids_files = ids_files
+        self._list_cache: dict = {}
+        self._cached_list_rows = 0
         self._served = True
         return self
 
@@ -340,26 +342,45 @@ class IvfIndex:
                             tbl[self.vec_col].to_pylist())
         }
 
+    # hot-list LRU (rows, not lists): repeated probes of nearby regions
+    # re-read nothing — the same bounded-cache shape as the posting tier
+    MAX_CACHED_LIST_ROWS = 2_000_000
+
     def _read_lists_local(self, lists: list[int]):
-        """(ids, matrix) per list_id from direct parquet reads."""
+        """(ids, matrix) per list_id from direct parquet reads, LRU-cached."""
         import numpy as np
         import pyarrow.dataset as ds
 
         out = {}
         for lid in lists:
+            hit = self._list_cache.get(lid)
+            if hit is not None:
+                self._list_cache.pop(lid)
+                self._list_cache[lid] = hit  # LRU refresh
+                out[lid] = hit
+                continue
             files = self._list_files.get(lid, [])
             if not files:
-                out[lid] = (np.empty(0, dtype=np.int64),
-                            np.empty((0, self.dim), dtype=np.float64))
-                continue
-            tbl = ds.dataset(files, format="parquet").to_table(
-                columns=[self.id_col, self.vec_col]
-            )
-            ids = tbl[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-            flat = tbl[self.vec_col].combine_chunks().flatten().to_numpy(
-                zero_copy_only=False
-            )
-            out[lid] = (ids, flat.astype(np.float64).reshape(-1, self.dim))
+                entry = (np.empty(0, dtype=np.int64),
+                         np.empty((0, self.dim), dtype=np.float64))
+            else:
+                tbl = ds.dataset(files, format="parquet").to_table(
+                    columns=[self.id_col, self.vec_col]
+                )
+                ids = tbl[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+                flat = tbl[self.vec_col].combine_chunks().flatten().to_numpy(
+                    zero_copy_only=False
+                )
+                entry = (ids, flat.astype(np.float64).reshape(-1, self.dim))
+            self._list_cache[lid] = entry
+            self._cached_list_rows += entry[0].size
+            out[lid] = entry
+        current = set(lists)
+        while self._cached_list_rows > self.MAX_CACHED_LIST_ROWS:
+            victim = next((k for k in self._list_cache if k not in current), None)
+            if victim is None:
+                break
+            self._cached_list_rows -= self._list_cache.pop(victim)[0].size
         return out
 
     def _topk_local(self, probe_ids, k, n_probe, probe_vecs):

@@ -162,6 +162,53 @@ class SegmentedIndex:
             u = u.unionByName(d)
         return u.groupBy("term").agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
 
+    _query_cache: dict | None = None
+    QUERY_CACHE_SIZE = 1024
+
+    def query(self, text: str, k: int = 10) -> list:
+        """Single-query serving entrypoint over the pinned segment set —
+        the segmented twin of ``InvertedIndex.query`` (same LRU result
+        cache, same zero-Spark driver path via ``topk_local_multi``).
+        Requires :meth:`serve`; hot queries transparently fall back to the
+        distributed plan. Returns [(rank, doc_id, score), ...]."""
+        if self._query_cache is None:
+            self._query_cache = {}
+        key = (text, int(k))
+        hit = self._query_cache.get(key)
+        if hit is not None:
+            self._query_cache.pop(key)
+            self._query_cache[key] = hit  # LRU refresh
+            return hit
+        rows = None
+        if self._sources is not None:
+            from ..operators.topk import MAX_BLOCKS_PER_TERM, _hot_df_threshold
+            from ..plans.serving import topk_local_multi
+
+            sn_docs, savgdl = self._serve_stats
+            res, spark_qids = topk_local_multi(
+                self._sources,
+                [{"query_id": 0, "query_text": text, "k": int(k)}],
+                sn_docs, savgdl, _hot_df_threshold(MAX_BLOCKS_PER_TERM),
+            )
+            if not spark_qids:
+                res = res.sort_values("rank")
+                rows = [
+                    (int(r), int(d), float(s))
+                    for r, d, s in zip(res["rank"], res["doc_id"], res["score"])
+                ]
+        if rows is None:
+            q = self.spark.createDataFrame(
+                [(0, text, int(k))], "query_id long, query_text string, k int"
+            )
+            rows = [
+                (r["rank"], r["doc_id"], r["score"])
+                for r in self.topk_pruned(q).orderBy("rank").collect()
+            ]
+        self._query_cache[key] = rows
+        while len(self._query_cache) > self.QUERY_CACHE_SIZE:
+            self._query_cache.pop(next(iter(self._query_cache)))
+        return rows
+
     # ---- shared query-side machinery --------------------------------------
 
     # Query batches beyond this row count are not "serving-shaped": the

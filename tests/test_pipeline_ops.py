@@ -132,9 +132,10 @@ def test_multimodal_decode_plumbing(spark):
     for r in feats:
         want = np.array(_fake_features(payloads[r.media_id]), dtype=np.float32)
         assert np.array_equal(np.array(r.features, dtype=np.float32), want)
-    # real decode now exists for WAV/PPM (test_decode_features_real_end_to_end);
-    # only codec-bound kinds (video) still raise, inside the kernel
-    with pytest.raises(Exception, match="codec"):
+    # real decode exists for WAV/PPM/AVI (r5); synth_media's hash-junk
+    # payloads are NOT valid containers, so real_decode must fail loudly
+    # inside the kernel, never silently misparse
+    with pytest.raises(Exception, match="RIFF"):
         decode_features(media.filter(F.col("kind") == "video"), real_decode=True).collect()
 
     rs = resize_images(media, 128).filter(F.col("kind") == "image").collect()
@@ -360,7 +361,7 @@ def test_real_ppm_decode_golden():
 
 def test_decode_features_real_end_to_end(spark):
     """bytes -> chunk walk -> window means, distributed; hand-computed
-    expectation for one media row, and video stays honestly unsupported."""
+    expectation for one media row; malformed video payloads fail loudly."""
     import numpy as np
     import pytest
 
@@ -375,19 +376,57 @@ def test_decode_features_real_end_to_end(spark):
     out = decode_features(synth_real_media(spark, 10), real_decode=True)
     rows = {r.media_id: r for r in out.collect()}
     assert set(rows) == set(range(10))
-    m = 4  # audio row: recompute the expected window means from the formula
+    m = 3  # audio row (media_id % 3 == 0): expected window means by formula
     ns = _wav_n_samples(m)
     v = _wav_sample(m, np.arange(ns, dtype=np.int64)).astype(np.float64)
     wbin = (np.arange(ns) * FEATURE_DIM) // ns
     exp = [v[wbin == j].sum() / (32768.0 * (wbin == j).sum()) for j in range(FEATURE_DIM)]
     assert np.allclose(rows[m].features, exp, rtol=0, atol=0)  # bit-exact
     assert len(rows[1].features) == FEATURE_DIM  # image row decoded too
+    assert len(rows[2].features) == FEATURE_DIM  # video row decoded too (r5)
 
     vids = spark.createDataFrame(
         [(0, "video", bytearray(b"\x00\x01"))], "media_id long, kind string, payload binary"
     )
-    with pytest.raises(Exception, match="codec"):
+    with pytest.raises(Exception, match="RIFF"):
         decode_features(vids, real_decode=True).collect()
+
+
+def test_real_avi_decode_golden():
+    """Golden check of the REAL AVI decode (r5): bottom-up DIB rows and
+    4-byte stride padding must be undone exactly — the decoded stream equals
+    the synthesis formula; compressed/unsupported containers fail loudly."""
+    import numpy as np
+    import pytest
+
+    from geocoderpl_spark.operators.multimodal import (
+        _avi_byte,
+        _avi_dims,
+        _avi_payload,
+        _decode_avi,
+    )
+
+    for m in (2, 5, 11, 23):
+        w, h, nf = _avi_dims(m)
+        gw, gh, pix = _decode_avi(_avi_payload(m))
+        assert (gw, gh) == (w, h)
+        n = nf * w * h * 3
+        assert pix.size == n
+        assert np.array_equal(
+            pix.astype(np.int64), _avi_byte(m, np.arange(n, dtype=np.int64))
+        )
+
+    with pytest.raises(ValueError, match="RIFF"):
+        _decode_avi(b"nope" * 20)
+    # a compressed (non-zero biCompression) container must refuse, not
+    # silently misdecode
+    import struct
+
+    good = bytearray(_avi_payload(2))
+    i = bytes(good).index(struct.pack("<Iii", 40, *_avi_dims(2)[:2]))
+    good[i + 16:i + 20] = struct.pack("<I", 1)  # biCompression = BI_RLE8
+    with pytest.raises(ValueError, match="unsupported"):
+        _decode_avi(bytes(good))
 
 
 def test_persisted_ivf_identical_and_partition_pruned(spark, tmp_path):
