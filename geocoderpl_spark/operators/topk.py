@@ -569,12 +569,17 @@ def _pruned_kernel(avgdl: float):
 
 
 def _best_partial(acc_scores, lo, hi):
-    """Max accumulated score among candidates inside each block range —
-    cheap over-estimate via global max (keeps the filter sound)."""
+    """Max accumulated score among candidates inside each block's
+    [lo, hi) doc range (r5: per-range maxima — the r4 version used the
+    global max, sound but loose; the tighter bound skips blocks whose
+    local candidates can't reach theta even with the block's best case).
+    Runs only in the closed re-scoring phase, over one term's blocks."""
     import numpy as np
 
-    m = acc_scores.max() if acc_scores.size else 0.0
-    return np.where(hi > lo, m, 0.0)
+    out = np.zeros(lo.size, dtype=np.float64)
+    for i in np.nonzero(hi > lo)[0]:
+        out[i] = acc_scores[lo[i]:hi[i]].max()
+    return out
 
 
 def bm25_topk_direct(

@@ -711,20 +711,52 @@ def build_index(
     # Tokenization runs inside Arrow kernels (north_star: "tokenize ->
     # term-docID pairs inside vectorized pandas/Arrow UDFs"): no JVM token
     # objects, no shuffle (per-doc local counting).
+    # ONE id-ranking per build (r5): the tf and docstats stages both need
+    # (key_cols -> doc_id); computing it per stage paid the range-sampling
+    # pass, the keys exchange, the counts collect, and the key-uniqueness
+    # check TWICE — pure fixed overhead that the 1M-doc exec-pair study
+    # showed capping build scaling. The ranked keys-only table is persisted
+    # once, shared by both stages, and unpersisted at the end of the build.
+    # doc_id values are unchanged (same ranking machinery, same input).
+    _shared_ids: dict = {}
+
+    def _doc_ids() -> DataFrame:
+        if "ids" not in _shared_ids:
+            ids = assign_doc_ids(
+                corpus.select(*key_cols), list(key_cols), partitions
+            )
+            # key-uniqueness guard (ADVICE r04), ONCE per build: a duplicate
+            # natural key would fan payload rows out at the join below
+            dup = (
+                ids._dense_ids_cache.groupBy(*key_cols)
+                .agg(F.count(F.lit(1)).alias("_c"))
+                .filter(F.col("_c") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                ids._dense_ids_cache.unpersist()
+                raise ValueError(
+                    f"build_index: key {key_cols} is not unique "
+                    f"(e.g. {tuple(dup[0][c] for c in key_cols)}); pass an "
+                    "explicit id_col or deduplicate the corpus"
+                )
+            _shared_ids["ids"] = ids
+        return _shared_ids["ids"]
+
     def _docs_with_ids(cols: list[str]):
-        """corpus pruned to ``cols`` + doc_id. assign_doc_ids ranks a
-        KEYS-ONLY projection (r4) — the payload columns never ride the
-        range sampler/exchange/persist — but pruning before it still
-        matters: the id join re-reads the corpus scan, and a narrower scan
-        is a narrower parquet read on both sides."""
+        """corpus pruned to ``cols`` + doc_id. The rank table is KEYS-ONLY
+        (r4) — payload columns never ride the range sampler/exchange/
+        persist — and shared across stages (r5); the id join re-reads the
+        corpus scan, and a narrower scan is a narrower parquet read."""
         pruned = corpus.select(
             *dict.fromkeys([*((id_col,) if id_col else key_cols), *cols])
         )
         if id_col:
             return pruned.withColumn("doc_id", F.col(id_col).cast("long"))
         # deterministic: doc_id = global rank of key_cols, independent of
-        # partitioning — recomputing it in stage 2 yields identical ids
-        return assign_doc_ids(pruned, list(key_cols), partitions)
+        # partitioning — every stage sees identical ids from the shared rank
+        return pruned.join(_doc_ids(), list(key_cols))
 
     if not _done(p["tf"]):
         def s1():
@@ -908,6 +940,10 @@ def build_index(
         for stage, rows, wall_ms, status in metrics:
             f.write(json.dumps({"stage": stage, "rows_out": rows,
                                 "wall_ms": wall_ms, "status": status}) + "\n")
+
+    # release the shared id-rank persist (both consumers have materialized)
+    if "ids" in _shared_ids:
+        _unpersist(_shared_ids["ids"])
 
     return InvertedIndex(
         root=out_dir, spark=spark, n_docs=n_docs, avgdl=avgdl,
