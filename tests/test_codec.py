@@ -148,3 +148,19 @@ def test_frame_chunking_positional_and_progress():
         assert len(parts) > 1
         merged = pa.Table.from_batches([_encode_np(c, 100.0, np, pa) for c in parts])
         assert merged.to_pydict() == ref.to_pydict(), kw
+
+
+def test_best_partial_per_range_maxima():
+    """r5: _best_partial bounds each block by the max accumulated score
+    inside the block's OWN [lo, hi) candidate range (r4 used the global
+    max — sound but loose). Soundness: out[i] >= true max of the range;
+    tightness: out[i] == that max exactly; empty ranges stay 0."""
+    from geocoderpl_spark.operators.topk import _best_partial
+
+    acc = np.array([0.5, 3.0, 1.0, 7.0, 2.0, 0.1], dtype=np.float64)
+    lo = np.array([0, 2, 4, 5, 3])
+    hi = np.array([2, 4, 4, 6, 6])  # [0,2) [2,4) empty [5,6) [3,6)
+    out = _best_partial(acc, lo, hi)
+    assert out.tolist() == [3.0, 7.0, 0.0, 0.1, 7.0]
+    # empty accumulator: all zeros
+    assert _best_partial(np.empty(0), np.array([0]), np.array([0])).tolist() == [0.0]
