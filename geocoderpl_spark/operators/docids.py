@@ -36,28 +36,12 @@ def assign_dense_ids(
     """
     other_cols = [c for c in df.columns if c not in key_cols]
     if other_cols:
-        ids = _rank_keys(df.select(*key_cols), key_cols, out_col, partitions)
         # Key-uniqueness is load-bearing on this path (ADVICE r04): with a
         # duplicate natural key the rank table holds one row per INPUT row,
         # so the key join would fan each payload row out to every rank row
-        # of its key — silent row multiplication. Detect it on the already-
-        # persisted keys-only lineage (one cheap in-memory aggregate) and
-        # fail loudly instead.
-        dup = (
-            ids._dense_ids_cache.groupBy(*key_cols)
-            .agg(F.count(F.lit(1)).alias("_c"))
-            .filter(F.col("_c") > 1)
-            .limit(1)
-            .collect()
-        )
-        if dup:
-            ids._dense_ids_cache.unpersist()
-            raise ValueError(
-                f"assign_dense_ids: key {key_cols} is not unique "
-                f"(e.g. {tuple(dup[0][c] for c in key_cols)}); dense-rank ids "
-                "over a duplicate key would multiply payload rows at the "
-                "join-back — deduplicate the corpus or pass an explicit id_col"
-            )
+        # of its key — silent row multiplication. _rank_keys detects this
+        # for free (adjacency flag in its existing window pass) and raises.
+        ids = _rank_keys(df.select(*key_cols), key_cols, out_col, partitions)
         out = df.join(ids, key_cols)
         out._dense_ids_cache = ids._dense_ids_cache
         return out
@@ -86,17 +70,47 @@ def _rank_keys(
     # (Same technique RDD.zipWithIndex uses: one count job over a pinned
     # partitioning, then a map.) Callers may unpersist via `_dense_ids_cache`
     # once the result is written out.
+    #
+    # _dup piggybacks on the SAME window pass (same partition/order spec, so
+    # Catalyst evaluates it in the one Window operator): equal keys land in
+    # one range partition and are adjacent under the sort, so lag-equality
+    # sees every duplicate. Summing it in the counts aggregate below makes
+    # the uniqueness check cost ZERO extra jobs (r5; it was a separate
+    # groupBy-collect shuffle per build).
+    key_struct = F.struct(*key_cols)
     local = (
         keyed.withColumn("_pid", F.spark_partition_id())
         .withColumn("_rn", F.row_number().over(w_part))
+        .withColumn(
+            # eqNullSafe, not ==: duplicate keys with NULL fields still sort
+            # adjacent and must still be caught (plain == yields NULL there);
+            # the first row's lag is NULL and eqNullSafe(struct, NULL) = false
+            "_dup",
+            key_struct.eqNullSafe(F.lag(key_struct).over(w_part)).cast("int"),
+        )
     ).persist()
     # offsets: cumulative count of rows in all preceding partitions. This is
     # P rows of metadata — the prefix sum runs driver-side (the standard
     # zipWithIndex technique), never on row data.
     counts = sorted(
-        local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt")).collect(),
+        local.groupBy("_pid").agg(
+            F.count(F.lit(1)).alias("_cnt"), F.sum("_dup").alias("_dups")
+        ).collect(),
         key=lambda r: r["_pid"],
     )
+    if any(r["_dups"] for r in counts):
+        # failure path only: one extra job to name an offending key
+        ex = (
+            local.filter(F.col("_dup") == 1).select(*key_cols).limit(1).collect()
+        )
+        local.unpersist()
+        raise ValueError(
+            f"assign_dense_ids: key {key_cols} is not unique "
+            f"(e.g. {tuple(ex[0][c] for c in key_cols) if ex else '?'}); "
+            "dense-rank ids over a duplicate key are order-nondeterministic "
+            "and multiply payload rows at the join-back — deduplicate the "
+            "corpus or pass an explicit id_col"
+        )
     acc, rows = 0, []
     for r in counts:
         rows.append((r["_pid"], acc))
@@ -105,7 +119,7 @@ def _rank_keys(
     out = (
         local.join(F.broadcast(offsets), "_pid")
         .withColumn(out_col, (F.col("_off") + F.col("_rn") - 1).cast("long"))
-        .drop("_pid", "_rn", "_off")
+        .drop("_pid", "_rn", "_off", "_dup")
     )
     out._dense_ids_cache = local  # handle for caller-side unpersist
     return out

@@ -722,26 +722,13 @@ def build_index(
 
     def _doc_ids() -> DataFrame:
         if "ids" not in _shared_ids:
-            ids = assign_doc_ids(
+            # key-uniqueness guard (ADVICE r04) is built into the ranking
+            # itself (adjacency flag in the same window pass + the counts
+            # collect — zero extra jobs); a duplicate natural key raises
+            # there before any payload join can fan out
+            _shared_ids["ids"] = assign_doc_ids(
                 corpus.select(*key_cols), list(key_cols), partitions
             )
-            # key-uniqueness guard (ADVICE r04), ONCE per build: a duplicate
-            # natural key would fan payload rows out at the join below
-            dup = (
-                ids._dense_ids_cache.groupBy(*key_cols)
-                .agg(F.count(F.lit(1)).alias("_c"))
-                .filter(F.col("_c") > 1)
-                .limit(1)
-                .collect()
-            )
-            if dup:
-                ids._dense_ids_cache.unpersist()
-                raise ValueError(
-                    f"build_index: key {key_cols} is not unique "
-                    f"(e.g. {tuple(dup[0][c] for c in key_cols)}); pass an "
-                    "explicit id_col or deduplicate the corpus"
-                )
-            _shared_ids["ids"] = ids
         return _shared_ids["ids"]
 
     def _docs_with_ids(cols: list[str]):

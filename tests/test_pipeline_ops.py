@@ -521,3 +521,23 @@ def test_assign_dense_ids_rejects_duplicate_keys(spark):
     )
     with pytest.raises(ValueError, match="not unique"):
         assign_dense_ids(dup, ["k", "v"])
+
+
+def test_rank_keys_rejects_duplicates_keys_only_path(spark):
+    """r5: the uniqueness guard lives in the ranking window pass itself
+    (zero extra jobs), so the KEYS-ONLY path — what build_index's shared
+    id-rank uses — raises too, not just the payload join-back path."""
+    import pytest
+
+    from geocoderpl_spark.operators.docids import assign_dense_ids
+
+    dup_keys = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("b", 2)], "k string, v int"
+    )
+    with pytest.raises(ValueError, match="not unique"):
+        assign_dense_ids(dup_keys, ["k", "v"])
+
+    ok_keys = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    got = assign_dense_ids(ok_keys, ["k", "v"]).collect()
+    assert sorted(r.doc_id for r in got) == [0, 1]
+    assert sorted(got[0].asDict()) == ["doc_id", "k", "v"]  # helper cols dropped

@@ -636,3 +636,91 @@ def test_ivf_serve_matches_spark_and_jobless(spark, tmp_path):
     # end-to-end served call returns the same frame
     e2e = sorted(tuple(r) for r in idx.topk(probes, k=5).collect())
     assert e2e == spark_res
+
+
+# ---------------------------------------------------------------------------
+# round-5 serve-mode edge cases (self-review hardening)
+# ---------------------------------------------------------------------------
+
+
+def test_boolean_serve_must_intersect_must_not(spark, sidx):
+    """A token in BOTH must and must_not is an unsatisfiable conjunction —
+    served and distributed paths must both return 0 rows for it while the
+    healthy query in the same batch still answers."""
+    from geocoderpl_spark.operators.topk import (
+        MAX_BLOCKS_PER_TERM,
+        _hot_df_threshold,
+        query_topk_boolean,
+    )
+    from geocoderpl_spark.plans.serving import boolean_local
+
+    idx, _ = sidx
+    idx.serve()
+    q = spark.createDataFrame(
+        [(0, "term_0001 term_0002", "term_0001", 10),
+         (1, "term_0002", "", 10)],
+        "query_id long, must string, must_not string, k int",
+    )
+    dist = _sorted_pdf(query_topk_boolean(
+        idx.postings, idx.terms, q, idx.n_docs, idx.avgdl,
+        n_buckets=idx.n_buckets,
+    ))
+    assert set(dist.query_id) == {1}
+    qrows = q.collect()
+    res, spark_qids = _no_jobs(spark, lambda: boolean_local(
+        idx._serving_source(), qrows, idx.n_docs, idx.avgdl,
+        _hot_df_threshold(MAX_BLOCKS_PER_TERM),
+    ))
+    assert spark_qids == []
+    got = res.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert list(got.doc_id) == list(dist.doc_id)
+    assert list(got.score) == list(dist.score)
+
+
+def test_filtered_serve_empty_allowed(spark, sidx):
+    """An empty allowed set filters everything: 0 rows, no error, and the
+    serve path still routes nothing to Spark."""
+    import numpy as np
+
+    from geocoderpl_spark.operators.topk import (
+        MAX_BLOCKS_PER_TERM,
+        _hot_df_threshold,
+    )
+    from geocoderpl_spark.plans.serving import filtered_topk_local
+
+    idx, _ = sidx
+    idx.serve()
+    qrows = _qdf(spark).collect()
+    res, spark_qids = _no_jobs(spark, lambda: filtered_topk_local(
+        idx._serving_source(), qrows, idx.n_docs, idx.avgdl,
+        _hot_df_threshold(MAX_BLOCKS_PER_TERM),
+        np.empty(0, dtype=np.int64),
+    ))
+    assert spark_qids == [] and len(res) == 0
+
+
+def test_phrase_serve_nontrivial_repeat(spark, sidx):
+    """Repeated-token phrases with a gap ('a b a') exercise the ordinal
+    multiplicity counting: the same token's positions participate at two
+    different shifts. Served must equal the distributed positional plan."""
+    from geocoderpl_spark.operators.topk import query_phrase_indexed
+    from geocoderpl_spark.plans.serving import phrase_local
+
+    idx, _ = sidx
+    idx.serve()
+    p = spark.createDataFrame(
+        [(0, "term_0001 term_0002 term_0001"),
+         (1, "term_0002 term_0002")],
+        "query_id long, phrase_text string",
+    )
+    dist = _sorted_pdf(query_phrase_indexed(
+        idx.postings, idx.terms, p, k=10, n_buckets=idx.n_buckets,
+    ))
+    prows = p.collect()
+    res, spark_qids = _no_jobs(spark, lambda: phrase_local(
+        idx._serving_source(), prows, k=10,
+    ))
+    assert spark_qids == []
+    got = res.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert list(got.doc_id) == list(dist.doc_id)
+    assert list(got.n_matches) == list(dist.n_matches)
