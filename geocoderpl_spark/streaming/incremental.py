@@ -78,12 +78,15 @@ class SegmentedIndex:
             entries = load_postings_manifest(s.root)
             if not entries and s.n_docs > 0:
                 return self  # pre-manifest segment: stay distributed
+            # cap check BEFORE the collect (same count-then-collect shape as
+            # InvertedIndex.serve): an over-cap vocabulary must never stage
+            # on the driver, not even transiently while deciding not to pin
+            total_terms += s.terms.count()
+            if total_terms > max_driver_terms:
+                return self  # vocabulary too large to pin
             lookup = {
                 r["term"]: (r["term_id"], r["df"]) for r in s.terms.collect()
             }
-            total_terms += len(lookup)
-            if total_terms > max_driver_terms:
-                return self  # vocabulary too large to pin
             scale = max(1.0, avgdl_g / s.avgdl) if s.avgdl else 1.0
             sources.append(ServingSource(
                 LocalBlockReader(s.root, s.n_buckets, entries or []),
