@@ -972,9 +972,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       top-k, EXISTS semi-join — is separately gated by rel_topk_per_group,
       rel_agg_pricing, rel_semi_join), plus ``rel_running_window`` (running
       windows; window machinery stays gated via rel_topk_per_group's
-      row_number and events_sessionize's lag). The q_* functions remain
-      (tested; judge parity), only the gate slots were reclaimed for the
-      new serving-tier gates (stream_bm25_topk_served, ann_ivf_serve).
+      row_number and events_sessionize's lag). The q_* functions remain,
+      only the gate slots were reclaimed for the new serving-tier gates
+      (stream_bm25_topk_served, ann_ivf_serve). Every ungated q_* is
+      oracle-checked by tests/test_ungated_queries.py (VERDICT r05 #3),
+      whose discovery assertion fails if a future consolidation orphans a
+      query surface without adding its oracle there.
     """
     return {
         # multimodal (gated green for 3 rounds — keep inside the cap)

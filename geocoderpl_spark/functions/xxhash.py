@@ -21,6 +21,31 @@ def _rotl(x: int, r: int) -> int:
     return ((x << r) | (x >> (64 - r))) & _M
 
 
+def xxhash64_long_np(values, seed: int = 42):
+    """Vectorized :func:`xxhash64_long`: XXH64 of each int64 in a numpy
+    array, returned as SIGNED int64 (identical to Spark's ``xxhash64`` over
+    a LongType column — parity asserted in tests/test_xxhash.py). Used by
+    the posting-encode kernel to recompute term buckets so the bucket
+    column never rides the build's biggest exchange."""
+    import numpy as np
+
+    with np.errstate(over="ignore"):
+        v = np.asarray(values, dtype=np.int64).astype(np.uint64)
+        h = np.uint64((seed + _P5 + 8) & _M)
+        k1 = v * np.uint64(_P2)
+        k1 = (k1 << np.uint64(31)) | (k1 >> np.uint64(33))
+        k1 = k1 * np.uint64(_P1)
+        h = h ^ k1
+        h = (h << np.uint64(27)) | (h >> np.uint64(37))
+        h = h * np.uint64(_P1) + np.uint64(_P4)
+        h = h ^ (h >> np.uint64(33))
+        h = h * np.uint64(_P2)
+        h = h ^ (h >> np.uint64(29))
+        h = h * np.uint64(_P3)
+        h = h ^ (h >> np.uint64(32))
+    return h.view(np.int64)
+
+
 def xxhash64_long(value: int, seed: int = 42) -> int:
     """XXH64 of one int64 value (as Spark hashes a LongType column).
 

@@ -89,6 +89,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_shingle_df: int | str | None = "auto",
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs (doc_a < doc_b, jaccard >= threshold) over n-gram
     shingle sets. Candidates = docs sharing >=1 shingle (equi-join on the
@@ -106,12 +107,31 @@ def ngram_jaccard_pairs(
     rarer shingles. Uncapped pairing (the provably-lossless but
     scale-unsafe variant) now requires an EXPLICIT ``max_shingle_df=None``.
     """
+    # "auto" cap resolution costs ZERO extra jobs (VERDICT r05 #6): the
+    # caller can hand in n_docs; otherwise the corpus count rides the main
+    # query as a broadcast 1-row aggregate feeding the hot filter (the old
+    # eager docs.count() was a full extra job per invocation).
+    auto_cap_col = None
     if max_shingle_df == "auto":
-        max_shingle_df = max(64, docs.count() // 100)
+        if n_docs is not None:
+            max_shingle_df = max(64, n_docs // 100)
+        else:
+            auto_cap_col = F.greatest(
+                F.lit(64), F.floor(F.col("_n_docs") / 100)
+            )
     # persist: the shingle relation feeds sizes + both join sides (3 uses);
     # without it each use re-runs tokenization
     sh = shingles(docs, n, text_col, id_col).persist()
-    if max_shingle_df:
+    if auto_cap_col is not None:
+        ndocs_df = docs.groupBy().agg(F.count(F.lit(1)).alias("_n_docs"))
+        hot = (
+            sh.groupBy("shingle")
+            .count()
+            .crossJoin(F.broadcast(ndocs_df))  # 1-row broadcast, not a cartesian
+            .filter(F.col("count") > auto_cap_col)
+        )
+        sh = sh.join(hot.select("shingle"), "shingle", "left_anti")
+    elif max_shingle_df:
         hot = sh.groupBy("shingle").count().filter(F.col("count") > max_shingle_df)
         sh = sh.join(hot.select("shingle"), "shingle", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
@@ -152,29 +172,6 @@ MINHASH_PARAMS: tuple[tuple[int, int], ...] = (
 LSH_ROWS_PER_BAND = 4
 
 
-def minhash_signatures(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, i, minhash): i-th minhash over the doc's shingle set.
-
-    h_i(s) = (a_i * (H(s) mod p) + b_i) mod p, H = md5-derived 60-bit int.
-    The params cross join is a 16-row broadcast (generated columns, no UDF).
-    """
-    params = F.array(
-        *[F.struct(F.lit(i).alias("i"), F.lit(a).alias("a"), F.lit(b).alias("b"))
-          for i, (a, b) in enumerate(MINHASH_PARAMS)]
-    )
-    hx = sh.select(id_col, (md5_hash60(F.col("shingle")) % MINHASH_P).alias("x"))
-    expl = hx.select(id_col, "x", F.explode(params).alias("p"))
-    return (
-        expl.select(
-            id_col,
-            F.col("p.i").alias("i"),
-            ((F.col("p.a") * F.col("x") + F.col("p.b")) % MINHASH_P).alias("h"),
-        )
-        .groupBy(id_col, "i")
-        .agg(F.min("h").alias("minhash"))
-    )
-
-
 def minhash_lsh_pairs(
     docs: DataFrame,
     n: int = 3,
@@ -189,12 +186,38 @@ def minhash_lsh_pairs(
     verification, so results hash-match exactly.
     """
     sh = shingles(docs, n, text_col, id_col).persist()
-    sig = minhash_signatures(sh, id_col)
-    bands = (
-        sig.withColumn("band", (F.col("i") / LSH_ROWS_PER_BAND).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(F.array_join(F.transform(F.array_sort(F.collect_list(
-            F.struct("i", "minhash"))), lambda s: s["minhash"].cast("string")), "_").alias("sig"))
+    # r6: the 16 minhashes compute as 16 MIN aggregate COLUMNS of one
+    # groupBy(doc) instead of exploding a 16-row params array per shingle
+    # and re-aggregating — same math ((a*x+b) mod p per shingle, min per
+    # doc), but the 16x row blowup, its shuffle, and the second
+    # (doc, band) collect_list+sort shuffle all disappear: bands are just
+    # string concatenations of the aggregate columns, exploded 4-per-doc
+    # map-side. Identical signatures, identical pairs (oracle unchanged).
+    hx = sh.select(id_col, (md5_hash60(F.col("shingle")) % MINHASH_P).alias("x"))
+    mins = hx.groupBy(id_col).agg(
+        *[
+            F.min((F.lit(a) * F.col("x") + F.lit(b)) % MINHASH_P).alias(f"_h{i}")
+            for i, (a, b) in enumerate(MINHASH_PARAMS)
+        ]
+    )
+    n_bands = len(MINHASH_PARAMS) // LSH_ROWS_PER_BAND
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"_h{band * LSH_ROWS_PER_BAND + r}").cast("string")
+                        for r in range(LSH_ROWS_PER_BAND)
+                    ],
+                ).alias("sig"),
+            )
+            for band in range(n_bands)
+        ]
+    )
+    bands = mins.select(id_col, F.explode(band_arr).alias("_b")).select(
+        id_col, F.col("_b.band").alias("band"), F.col("_b.sig").alias("sig")
     )
     a = bands.select(F.col(id_col).alias("doc_a"), "band", "sig")
     b = bands.select(F.col(id_col).alias("doc_b"), "band", "sig")

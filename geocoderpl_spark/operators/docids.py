@@ -11,8 +11,20 @@ rank-identity vs the oracle and for resumable builds, SURVEY.md §7.4 #2).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+# Join-back broadcast cutover (rows). The rank table is keys-only (~100 B/
+# row), so up to this many rows it ships as a broadcast hash relation
+# (~hundreds of MB) and the PAYLOAD side of the join-back is never
+# shuffled — the guide-§8 "attach the plan without re-shuffling the
+# payload" move. Above it (e.g. 10^12-doc corpora) the join stays
+# sort-merge/AQE-planned. Parameterised for cluster tuning: a real
+# deployment sizes this to executor memory (rows x ~150 B must fit
+# comfortably next to execution memory).
+BROADCAST_IDS_MAX_ROWS = int(os.environ.get("GRAFT_BROADCAST_IDS_ROWS", "4000000"))
 
 
 def assign_dense_ids(
@@ -42,8 +54,18 @@ def assign_dense_ids(
         # of its key — silent row multiplication. _rank_keys detects this
         # for free (adjacency flag in its existing window pass) and raises.
         ids = _rank_keys(df.select(*key_cols), key_cols, out_col, partitions)
-        out = df.join(ids, key_cols)
+        # join-back strategy (guide §8 "attach the plan"): the ranked table's
+        # exact row count is already on the driver (the counts collect), so
+        # when it is broadcast-sized the payload side joins WITHOUT an
+        # exchange — Catalyst's own size estimate for the persisted rank
+        # table exceeds autoBroadcastJoinThreshold well before this cap, so
+        # without the hint a multi-GB payload (corpus content) would be
+        # hash-shuffled AND sorted just to pick up an 8-byte id.
+        total = getattr(ids, "_rank_total", None)
+        rhs = F.broadcast(ids) if total is not None and total <= BROADCAST_IDS_MAX_ROWS else ids
+        out = df.join(rhs, key_cols)
         out._dense_ids_cache = ids._dense_ids_cache
+        out._rank_total = total
         return out
     return _rank_keys(df, key_cols, out_col, partitions)
 
@@ -122,6 +144,7 @@ def _rank_keys(
         .drop("_pid", "_rn", "_off", "_dup")
     )
     out._dense_ids_cache = local  # handle for caller-side unpersist
+    out._rank_total = acc  # exact row count, already paid for by the collect
     return out
 
 

@@ -151,15 +151,17 @@ def _sha256_hex(content, n: int) -> list[str]:
     ]
 
 
-def _attach_sha(out, content, doc_ids, doclen, np, pa):
+def _attach_sha(out, content, doc_ids, doclen, np, pa, sha=None):
     """Fuse per-doc stats onto a (term, doc_id, ...) tf table: sha256 lands
     on the FIRST output row of each doc (NULL elsewhere), and zero-token
     docs — absent from the tf aggregation — get one sentinel row with term
-    NULL so every doc's (doclen, sha256) survives into the checkpoint."""
+    NULL so every doc's (doclen, sha256) survives into the checkpoint.
+    ``sha`` may be precomputed (one pa.string() value per doc)."""
     import pyarrow.compute as pc
 
     n = len(doc_ids)
-    sha = pa.array(_sha256_hex(content, n), pa.string())
+    if sha is None:
+        sha = pa.array(_sha256_hex(content, n), pa.string())
     out_docs = out["doc_id"].to_numpy()
     order = np.argsort(doc_ids, kind="stable")
     _, first_idx = np.unique(out_docs, return_index=True)
@@ -333,6 +335,162 @@ def term_positions_arrow(
     return docs.select("doc_id", content_col).mapInArrow(fn, schema=schema)
 
 
+def tf_docstats_direct(
+    docs: DataFrame,
+    meta_cols: list[str],
+    out_dir: str,
+    content_col: str = "content",
+    positional: bool = False,
+) -> DataFrame:
+    """Fused tf+docstats kernel with DIRECT parquet output for the tf
+    relation (r6, guide §4.2: do the heavy lifting in native code).
+
+    The classic path returns ~150 tf rows per doc through the Python→JVM
+    Arrow boundary, converts each to an UnsafeRow, and re-encodes them in
+    the JVM parquet writer — measured at 2M docs/local[8]: the return+write
+    tail costs ~19 s on top of a ~27 s compute floor. Here each task
+    streams its tf batches straight into ONE parquet file under ``out_dir``
+    via pyarrow's C++ writer (0.2 s per 2.8M rows, measured) and returns
+    only the per-doc stats row (doc_id, *meta passthrough, doclen, sha256)
+    — i.e. the docstats relation, ~1/150th of the rows. One scan, one
+    action materializes BOTH checkpoints.
+
+    The tf rows written are IDENTICAL in content to
+    :func:`term_frequencies_arrow(with_sha=True)` (sparse sha sidecar +
+    term-NULL sentinels for zero-token docs), so every downstream consumer
+    — terms, postings, the fused docstats derive on resume — reads the
+    checkpoint unchanged (asserted row-identical in tests/test_index.py).
+
+    Commit protocol: tasks write ``_tmp-<pid>-<attempt>`` then atomically
+    rename to ``part-<pid>``; a retried task recomputes the same partition
+    deterministically and the rename makes it idempotent. The caller owns
+    the stage ``_SUCCESS`` marker (written only after the driving action
+    returns). On a cluster ``out_dir`` is shared storage — the same
+    contract as any committer-less distributed sink.
+    """
+
+    def fn(batches):
+        import os as _os2
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        from ..functions.tokenize import CAMEL_BOUNDARY, NON_TOKEN
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        att = ctx.attemptNumber() if ctx is not None else 0
+        tmp = _os2.path.join(out_dir, f"_tmp-{pid:05d}-{att}.parquet")
+        final = _os2.path.join(out_dir, f"part-{pid:05d}-graft.snappy.parquet")
+        writer = None
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            names = rb.schema.names
+            content = pc.fill_null(rb.column(names.index(content_col)), "")
+            spaced = pc.replace_substring_regex(
+                content, pattern=CAMEL_BOUNDARY, replacement=r"\1 \2"
+            )
+            toks = pc.split_pattern_regex(pc.utf8_lower(spaced), pattern=NON_TOKEN)
+            lengths = pc.list_value_length(toks).to_numpy().astype(np.int64)
+            parent = np.repeat(np.arange(n, dtype=np.int64), lengths)
+            flat = pc.list_flatten(toks)
+            keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+            parent = parent[keep]
+            doclen = np.bincount(parent, minlength=n)
+            doc_ids = rb.column(names.index("doc_id")).to_numpy()
+            tcols = {
+                "term": flat.filter(pa.array(keep)),
+                "doc_id": pa.array(doc_ids[parent], pa.int64()),
+                "doclen": pa.array(doclen[parent], pa.int64()),
+            }
+            if positional:
+                idx = np.arange(parent.size, dtype=np.int64)
+                pos = (
+                    idx - np.searchsorted(parent, parent, side="left") + 1
+                ).astype(np.int32)
+                tcols["pos"] = pa.array(pos, pa.int32())
+                agg = pa.table(tcols).group_by(["term", "doc_id", "doclen"]).aggregate(
+                    [("pos", "list"), ([], "count_all")]
+                )
+                out = pa.table(
+                    {
+                        "term": agg["term"].cast(pa.string()),
+                        "doc_id": agg["doc_id"],
+                        "doclen": agg["doclen"],
+                        "tf": agg["count_all"].cast(pa.int64()),
+                        "positions": agg["pos_list"],
+                    }
+                )
+            else:
+                agg = pa.table(tcols).group_by(["term", "doc_id", "doclen"]).aggregate(
+                    [([], "count_all")]
+                )
+                out = pa.table(
+                    {
+                        "term": agg["term"].cast(pa.string()),
+                        "doc_id": agg["doc_id"],
+                        "doclen": agg["doclen"],
+                        "tf": agg["count_all"].cast(pa.int64()),
+                    }
+                )
+            sha = pa.array(_sha256_hex(content, n), pa.string())
+            out = _attach_sha(out, content, doc_ids, doclen, np, pa, sha=sha)
+            if writer is None:
+                writer = pq.ParquetWriter(tmp, out.schema)
+            writer.write_table(out)
+            stats = {"doc_id": rb.column(names.index("doc_id"))}
+            for c in fn.meta_cols:
+                stats[c] = rb.column(names.index(c))
+            stats["doclen"] = pa.array(doclen.astype(np.int64), pa.int64())
+            stats["sha256"] = sha
+            yield pa.RecordBatch.from_pydict(stats)
+        if writer is not None:
+            writer.close()
+            _os2.replace(tmp, final)
+
+    fn.meta_cols = list(meta_cols)
+    dtypes = {f.name: f.dataType.simpleString() for f in docs.schema}
+    meta_schema = ", ".join(f"{c} {dtypes[c]}" for c in meta_cols)
+    schema = (
+        "doc_id long"
+        + (", " + meta_schema if meta_schema else "")
+        + ", doclen long, sha256 string"
+    )
+    return docs.select("doc_id", content_col, *meta_cols).mapInArrow(fn, schema=schema)
+
+
+def ensure_tf_files(out_dir: str, positional: bool = False) -> None:
+    """Zero-doc guard for the kernel-direct tf write: an empty corpus
+    produces no task files, which would make the checkpoint unreadable —
+    land one empty file carrying the schema (the flat-empty-write analog)."""
+    import glob as _glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if _glob.glob(os.path.join(out_dir, "*.parquet")):
+        return
+    fields = [
+        pa.field("term", pa.string()),
+        pa.field("doc_id", pa.int64()),
+        pa.field("doclen", pa.int64()),
+        pa.field("tf", pa.int64()),
+    ]
+    if positional:
+        fields.append(pa.field("positions", pa.list_(pa.int32())))
+    fields.append(pa.field("sha256", pa.string()))
+    pq.write_table(
+        pa.table({f.name: pa.array([], f.type) for f in fields}),
+        os.path.join(out_dir, "part-00000-graft.snappy.parquet"),
+    )
+
+
 def docstats_arrow(
     docs: DataFrame, meta_cols: list[str], content_col: str = "content"
 ) -> DataFrame:
@@ -421,13 +579,21 @@ def build_terms(tf: DataFrame) -> DataFrame:
     from .docids import assign_dense_ids
 
     # term-NULL rows are fused-docstats sentinels (zero-token docs), not terms
+    # PERSISTED: the id-ranking machinery below touches this relation three
+    # times (range sampler, counts collect, final join-back) — without the
+    # persist each touch re-runs the full tf scan + aggregation (r6: two
+    # extra passes over the build's largest relation). Vocabulary-sized, so
+    # the cache is metadata-scale; released via `_stats_cache` by the caller
+    # (plans/build._unpersist) once the dictionary is written.
     stats = tf.filter(F.col("term").isNotNull()).groupBy("term").agg(
         F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
-    )
+    ).persist()
     # term_id = dense rank of the term string, assigned with the same
     # range-partition + prefix-sum technique as doc_ids (no global window —
     # the vocabulary can reach 1e8+ terms on a code corpus).
-    return assign_dense_ids(stats, ["term"], "term_id")
+    out = assign_dense_ids(stats, ["term"], "term_id")
+    out._stats_cache = stats
+    return out
 
 
 def corpus_stats(tok_docs: DataFrame) -> tuple[int, float]:
@@ -437,7 +603,7 @@ def corpus_stats(tok_docs: DataFrame) -> tuple[int, float]:
     return int(row["n"]), float(row["avgdl"] or 0.0)
 
 
-def _encode_partition(avgdl: float) -> callable:
+def _encode_partition(avgdl: float, n_buckets: int | None = None) -> callable:
     """mapInPandas kernel: rows sorted by (bucket, term_id, doc_id) ->
     compressed blocks. Arrow-batched; numpy inside; no per-row Python."""
 
@@ -460,16 +626,18 @@ def _encode_partition(avgdl: float) -> callable:
             else:
                 tail = pdf.copy()
                 continue
-            yield from _encode_frame(pdf, avgdl, np)
+            yield from _encode_frame(pdf, avgdl, np, n_buckets)
         if tail is not None and len(tail):
             import numpy as np
 
-            yield from _encode_frame(tail, avgdl, np)
+            yield from _encode_frame(tail, avgdl, np, n_buckets)
 
     return fn
 
 
-def _encode_frame(pdf: pd.DataFrame, avgdl: float, np) -> Iterator[pd.DataFrame]:
+def _encode_frame(
+    pdf: pd.DataFrame, avgdl: float, np, n_buckets: int | None = None
+) -> Iterator[pd.DataFrame]:
     """Encode one frame of (bucket, term_id, doc_id, doclen, tf) rows, sorted
     by (term_id, doc_id), into compressed blocks.
 
@@ -484,7 +652,7 @@ def _encode_frame(pdf: pd.DataFrame, avgdl: float, np) -> Iterator[pd.DataFrame]
     if n_rows == 0:
         return
     terms = pdf["term_id"].to_numpy()
-    buckets = pdf["bucket"].to_numpy()
+    buckets = pdf["bucket"].to_numpy() if "bucket" in pdf.columns else None
     docs = pdf["doc_id"].to_numpy(dtype=np.int64)
     tfs = pdf["tf"].to_numpy(dtype=np.int64)
     dls = pdf["doclen"].to_numpy(dtype=np.int64)
@@ -519,7 +687,14 @@ def _encode_frame(pdf: pd.DataFrame, avgdl: float, np) -> Iterator[pd.DataFrame]
         return [buf[a:b].tobytes() for a, b in zip(lo, hi)]
 
     cols = {
-        "bucket": buckets[bstarts].astype(np.int32),
+        # bucket is recomputed per BLOCK from term_id when it did not ride
+        # the shuffle (r6: one fewer column through the build's biggest
+        # exchange+sort) — xxhash64_long_np is the Spark-parity hash
+        "bucket": (
+            buckets[bstarts].astype(np.int32)
+            if buckets is not None
+            else _buckets_np(terms[bstarts], n_buckets, np)
+        ),
         "term_id": terms[bstarts],
         "block_id": docs[bstarts],
         "n": bn.astype(np.int32),
@@ -560,7 +735,17 @@ def _encode_frame(pdf: pd.DataFrame, avgdl: float, np) -> Iterator[pd.DataFrame]
     yield pd.DataFrame(cols)
 
 
-def _encode_partition_arrow(avgdl: float) -> callable:
+def _buckets_np(term_ids, n_buckets: int, np):
+    """Per-block bucket = pmod(xxhash64(term_id), n_buckets), recomputed in
+    the kernel (Spark-parity vectorized XXH64) so the bucket column never
+    rides the posting exchange/sort/IPC."""
+    from ..functions.xxhash import xxhash64_long_np
+
+    return (xxhash64_long_np(np.asarray(term_ids, dtype=np.int64))
+            % np.int64(n_buckets)).astype(np.int32)
+
+
+def _encode_partition_arrow(avgdl: float, n_buckets: int | None = None) -> callable:
     """mapInArrow twin of :func:`_encode_partition` — same math, zero
     per-block Python objects on output: the binary posting columns are
     built as Arrow BinaryArrays directly over the varint buffer
@@ -599,13 +784,13 @@ def _encode_partition_arrow(avgdl: float) -> callable:
             split = int(cut[-1] + 1)
             tail = _slice_cols(cols, split, n, np)
             for chunk in _frame_chunks(_slice_cols(cols, 0, split, np), np):
-                yield _encode_np(chunk, avgdl, np, pa)
+                yield _encode_np(chunk, avgdl, np, pa, n_buckets)
         if tail is not None and tail["term_id"].size:
             import numpy as np
             import pyarrow as pa
 
             for chunk in _frame_chunks(tail, np):
-                yield _encode_np(chunk, avgdl, np, pa)
+                yield _encode_np(chunk, avgdl, np, pa, n_buckets)
 
     return fn
 
@@ -677,7 +862,7 @@ def _slice_cols(cols: dict, a: int, b: int, np) -> dict:
     return out
 
 
-def _encode_np(cols: dict, avgdl: float, np, pa):
+def _encode_np(cols: dict, avgdl: float, np, pa, n_buckets: int | None = None):
     """One frame of partition-sorted rows -> an Arrow RecordBatch of blocks
     (same math as :func:`_encode_frame`, Arrow-native output)."""
     from ..functions.bm25 import tfnorm_np
@@ -719,7 +904,12 @@ def _encode_np(cols: dict, avgdl: float, np, pa):
         )
 
     arrays = [
-        pa.array(cols["bucket"][bstarts].astype(np.int32), pa.int32()),
+        pa.array(
+            cols["bucket"][bstarts].astype(np.int32)
+            if "bucket" in cols
+            else _buckets_np(terms[bstarts], n_buckets, np),
+            pa.int32(),
+        ),
         pa.array(terms[bstarts].astype(np.int64), pa.int64()),
         pa.array(docs[bstarts], pa.int64()),
         pa.array(bn.astype(np.int32), pa.int32()),
@@ -802,12 +992,23 @@ def build_postings(
     else:
         slice_docs = 1 << 20
     positional = "positions" in tf.columns
-    keyed = tf.join(F.broadcast(terms.select("term", "term_id")), "term").withColumn(
-        "bucket", F.pmod(F.xxhash64("term_id"), F.lit(n_buckets)).cast("int")
-    )
+    keyed = tf.join(F.broadcast(terms.select("term", "term_id")), "term")
+    # bucket stays an EXPRESSION end to end (r6): it is derivable from
+    # term_id (pmod(xxhash64, B)), so materializing it as a column only
+    # added 8 bytes/row to the build's biggest exchange, the partition
+    # sort, and the JVM->Python Arrow IPC — the encode kernel recomputes
+    # it per BLOCK with the Spark-parity vectorized XXH64 (_buckets_np).
+    # The cast to long before hashing keeps the hashed VALUE identical
+    # after the int32 narrowing below, so partition assignment — and with
+    # it resume byte-identity — is unchanged.
+    def bucket_expr():
+        return F.pmod(
+            F.xxhash64(F.col("term_id").cast("long")), F.lit(n_buckets)
+        ).cast("int")
+
     if bucket_mod is not None:
         g, n_groups = bucket_mod
-        keyed = keyed.filter(F.pmod(F.col("bucket"), F.lit(n_groups)) == g)
+        keyed = keyed.filter(F.pmod(bucket_expr(), F.lit(n_groups)) == g)
     pos_cols = ["positions"] if positional else []
     # int32 tf/doclen BEFORE the exchange, and the slice key as an
     # EXPRESSION rather than a materialized column: the posting shuffle is
@@ -840,35 +1041,59 @@ def build_postings(
     if n_terms is not None and n_terms <= (1 << 31):
         term_expr = F.col("term_id").cast("int")
     slice_col = (F.col("doc_id") / F.lit(slice_docs)).cast("long")
+    # sort on (slice, term_id, doc_id): slice MUST stay in the key — a
+    # term's non-adjacent slices can hash to the same partition, and
+    # without the slice major they would merge into one run whose blocks
+    # span doc ranges held by OTHER partitions, breaking the per-term
+    # disjoint-block-range invariant (J7) that block-max pruning's
+    # bookkeeping documents. bucket is dropped: the encoder splits
+    # frames on term_id change-points, so a bucket-major order adds a
+    # 4th comparison key for nothing.
+    sort_keys = [slice_col, F.col("term_id"), F.col("doc_id")]
+    # r6: when the caller PROVES the id spaces are non-negative and narrow
+    # (same proofs as the int32 narrowing), the 3-key sort collapses into
+    # ONE packed non-negative long key with the same lexicographic order —
+    # a single LongType ordering is exactly what lets Spark's Tungsten sort
+    # take the 8-byte-prefix RADIX path instead of the 3-comparator
+    # interpreted path. Order is identical (disjoint bit fields, all
+    # non-negative), so block boundaries and bytes are unchanged.
+    if (
+        doc_id_range is not None
+        and doc_id_range[0] >= 0
+        and n_terms is not None
+        and n_terms >= 1
+    ):
+        b_d = max(int(doc_id_range[1]).bit_length(), 1)
+        b_t = max(int(n_terms - 1).bit_length(), 1)
+        b_s = max(int(doc_id_range[1] // slice_docs).bit_length(), 1)
+        if b_s + b_t + b_d <= 62:
+            sort_keys = [
+                slice_col * F.lit(1 << (b_t + b_d))
+                + F.col("term_id").cast("long") * F.lit(1 << b_d)
+                + F.col("doc_id").cast("long")
+            ]
     narrow = (
         keyed.select(
-            "bucket",
             term_expr.alias("term_id"),
             doc_expr.alias("doc_id"),
             F.col("doclen").cast("int").alias("doclen"),
             F.col("tf").cast("int").alias("tf"),
             *pos_cols,
         )
-        .repartition(partitions, F.col("bucket"), slice_col)
-        # sort on (slice, term_id, doc_id): slice MUST stay in the key — a
-        # term's non-adjacent slices can hash to the same partition, and
-        # without the slice major they would merge into one run whose blocks
-        # span doc ranges held by OTHER partitions, breaking the per-term
-        # disjoint-block-range invariant (J7) that block-max pruning's
-        # bookkeeping documents. bucket is dropped: the encoder splits
-        # frames on term_id change-points and carries bucket per row, so a
-        # bucket-major order adds a 4th comparison key for nothing.
-        .sortWithinPartitions(slice_col, F.col("term_id"), F.col("doc_id"))
+        .repartition(partitions, bucket_expr(), slice_col)
+        .sortWithinPartitions(*sort_keys)
     )
     schema = POSTINGS_POS_SCHEMA if positional else POSTINGS_SCHEMA
     import os as _os
 
     if _os.environ.get("GRAFT_ENCODE_KERNEL", "arrow") == "pandas":
-        blocks = narrow.mapInPandas(_encode_partition(avgdl), schema=schema)
+        blocks = narrow.mapInPandas(_encode_partition(avgdl, n_buckets), schema=schema)
     else:
         # arrow (default): Arrow-native block output, zero per-block Python
         # objects — byte-identical to the pandas encoder (tested)
-        blocks = narrow.mapInArrow(_encode_partition_arrow(avgdl), schema=schema)
+        blocks = narrow.mapInArrow(
+            _encode_partition_arrow(avgdl, n_buckets), schema=schema
+        )
     # local (shuffle-free) re-sort of the encoded blocks: term_id-contiguous
     # row groups give tight Parquet min/max stats, so `term_id IN (...)`
     # skips row groups inside each file (the encode order was (slice,

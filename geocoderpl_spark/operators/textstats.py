@@ -149,7 +149,6 @@ def snippets(
         .limit(max_collect_hits + 1)
         .collect()
     )
-    hits_cache = None  # set on the over-cap fallback branch only
     if not hit_rows:
         return docs.sparkSession.createDataFrame(
             [], "query_id long, doc_id long, rank int, first_pos long, snippet string"
@@ -175,12 +174,12 @@ def snippets(
     else:
         # batch regime: the hit pipeline is referenced twice below (doc
         # fetch semi-join + joined_hits) on top of the guard collect above —
-        # persist it HERE rather than relying on callers to notice
-        # (ADVICE r04). The persisted handle rides the result as
-        # ``_snippets_hits_cache`` for caller-side unpersist after
-        # materialization (same pattern as assign_dense_ids).
-        hits = hits.select("query_id", "doc_id", "rank").persist()
-        hits_cache = hits
+        # materialize it ONCE here. localCheckpoint, not persist (ADVICE
+        # r05): no caller ever released the persisted handle, so repeated
+        # batch snippets calls accumulated cached frames for the session
+        # lifetime; checkpoint blocks are reclaimed by the ContextCleaner
+        # as soon as the result frame is garbage-collected.
+        hits = hits.select("query_id", "doc_id", "rank").localCheckpoint()
         fetched = docs.join(
             hits.select(F.col("doc_id").alias(id_col)).distinct(), id_col, "left_semi"
         )
@@ -211,8 +210,6 @@ def snippets(
             F.slice("toks", a.cast("int"), (b - a + 1).cast("int")), " "
         ).alias("snippet"),
     )
-    if hits_cache is not None:
-        out._snippets_hits_cache = hits_cache
     return out
 
 

@@ -299,6 +299,11 @@ class IvfIndex:
                     )
         ids_files: list[tuple[str, int, int]] = []  # (path, id_min, id_max)
         for rt in roots:
+            # same commit check the `ids` property enforces (ADVICE r05): an
+            # absent or uncommitted sidecar must never be pinned — a partial
+            # write would silently drop probes from the local fetch
+            if not os.path.exists(os.path.join(rt, "ids", "_SUCCESS")):
+                continue
             for fp in sorted(_glob.glob(os.path.join(rt, "ids", "*.parquet"))):
                 md = pq.ParquetFile(fp).metadata
                 ci = {md.schema.column(i).name: i
@@ -396,6 +401,12 @@ class IvfIndex:
             if probe_vecs is not None
             else self._fetch_probes_local(probe_ids)
         )
+        if probe_vecs is None and any(pid not in probes for pid in probe_ids):
+            # a probe the sidecar cannot resolve (pre-sidecar index, ids
+            # newer than the pin, or uncommitted appends) must NOT silently
+            # yield an empty result — the Spark path's vectors-scan fallback
+            # finds it (ADVICE r05)
+            return None
         pairs: list[tuple[int, list[int]]] = []
         total = 0
         for pid in probe_ids:

@@ -68,9 +68,10 @@ def _done(path: str) -> bool:
 
 
 def _unpersist(df: DataFrame) -> None:
-    cache = getattr(df, "_dense_ids_cache", None)
-    if cache is not None:
-        cache.unpersist()
+    for attr in ("_dense_ids_cache", "_stats_cache"):
+        cache = getattr(df, attr, None)
+        if cache is not None:
+            cache.unpersist()
 
 
 @dataclass
@@ -745,17 +746,54 @@ def build_index(
         # partitioning — every stage sees identical ids from the shared rank
         return pruned.join(_doc_ids(), list(key_cols))
 
+    # kernel-direct mode (r6, default): the tf kernel streams its tf batches
+    # straight to parquet via pyarrow (C++) and RETURNS the per-doc stats —
+    # one corpus scan and one action materialize BOTH the tf and docstats
+    # checkpoints, skipping the 150-rows-per-doc Python->JVM return, the
+    # UnsafeRow conversion, and the JVM parquet encode (guide §4.2).
+    # GRAFT_TF_DIRECT=0 or the pandas kernel selector restores the classic
+    # JVM-written path (same checkpoint content either way — tested).
+    direct = (
+        os.environ.get("GRAFT_TF_DIRECT", "1") != "0"
+        and os.environ.get("GRAFT_TF_KERNEL", "arrow") != "pandas"
+    )
+    s2_err: list[BaseException] = []
+    _stage_out: dict = {}
     if not _done(p["tf"]):
-        def s1():
-            docs = _docs_with_ids([content_col])
-            tf_kernel = _tf_kernel_positional() if positional else _kernels()[0]
-            tf_kernel(docs, content_col, with_sha=True).write.mode(
-                "overwrite"
-            ).parquet(p["tf"])
-            _unpersist(docs)
-            return -1
+        if direct:
+            from ..operators.postings import ensure_tf_files, tf_docstats_direct
 
-        timed("tf", s1)
+            def s1():
+                import shutil as _sh
+
+                # wipe any partial task files from an interrupted attempt
+                _sh.rmtree(p["tf"], ignore_errors=True)
+                os.makedirs(p["tf"], exist_ok=True)
+                mcols = [c for c in meta_cols if c != id_col]
+                docs = _docs_with_ids([content_col, *mcols])
+                stats = tf_docstats_direct(
+                    docs, mcols, p["tf"], content_col, positional=positional
+                )
+                stats.write.mode("overwrite").parquet(p["docstats"])
+                ensure_tf_files(p["tf"], positional)
+                open(os.path.join(p["tf"], "_SUCCESS"), "w").close()
+                _unpersist(docs)
+                return -1
+
+            timed("tf", s1)
+            metrics.append(("docstats", -1, 0, "fused-direct"))
+            _stage_out["docstats_direct"] = True
+        else:
+            def s1():
+                docs = _docs_with_ids([content_col])
+                tf_kernel = _tf_kernel_positional() if positional else _kernels()[0]
+                tf_kernel(docs, content_col, with_sha=True).write.mode(
+                    "overwrite"
+                ).parquet(p["tf"])
+                _unpersist(docs)
+                return -1
+
+            timed("tf", s1)
     else:
         metrics.append(("tf", -1, 0, "resumed"))
 
@@ -772,7 +810,6 @@ def build_index(
     # hides the shorter stage's wall inside the longer one, shaving the
     # fixed per-build overhead the Amdahl analysis (BASELINE.md) shows is
     # what actually caps small-build scaling.
-    s2_err: list[BaseException] = []
     if not _done(p["docstats"]):
         def s2():
             # content-free id assignment: only keys + metadata get cached
@@ -807,7 +844,46 @@ def build_index(
         t2.start()
     else:
         t2 = None
-        metrics.append(("docstats", -1, 0, "resumed"))
+        if not _stage_out.get("docstats_direct"):
+            metrics.append(("docstats", -1, 0, "resumed"))
+
+    # stage 4's corpus-stats aggregate depends ONLY on the tf checkpoint
+    # (per_doc rows == docstats rows 1:1 — the docstats meta join is keyed
+    # on the same unique doc_id), so on fused checkpoints it runs as a
+    # third CONCURRENT job instead of a sequential one after the threads
+    # join: the per-build fixed overhead the Amdahl analysis (BASELINE.md)
+    # charges to sequential job scheduling shrinks by one full job. The
+    # doclen sum is an integer far below 2^53, so the double accumulation
+    # is exact and order-independent — bit-identical to the docstats agg.
+    import threading
+
+    tmeta = None
+    if fused:
+        def _meta_thread():
+            try:
+                # freshly (direct-)built docstats is ~1 row/doc — far
+                # cheaper to agg than the tf checkpoint's sparse sidecar
+                src = (
+                    spark.read.parquet(p["docstats"]).select("doc_id", "doclen")
+                    if _done(p["docstats"])
+                    else tf_full.filter(
+                        F.col("sha256").isNotNull() & F.col("doc_id").isNotNull()
+                    )
+                )
+                _stage_out["meta_row"] = (
+                    src.agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.avg("doclen").alias("avgdl"),
+                        F.min("doc_id").alias("dmin"),
+                        F.max("doc_id").alias("dmax"),
+                    )
+                    .collect()[0]
+                )
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                s2_err.append(e)
+
+        tmeta = threading.Thread(target=_meta_thread, name="build-meta-agg")
+        tmeta.start()
 
     # stage 3: term dictionary (runs while the docstats thread works).
     # try/finally: a terms-stage failure must still JOIN the concurrent
@@ -823,6 +899,9 @@ def build_index(
                 # predicates (autocomplete) row-group-skippable instead of
                 # full-dict scans
                 t.sortWithinPartitions("term").write.mode("overwrite").parquet(p["terms"])
+                # dictionary size fell out of the ranking's counts collect —
+                # no terms.count() job needed afterwards
+                _stage_out["n_terms"] = getattr(t, "_rank_total", None)
                 _unpersist(t)
                 return -1
 
@@ -832,6 +911,8 @@ def build_index(
     finally:
         if t2 is not None:
             t2.join()
+        if tmeta is not None:
+            tmeta.join()
     if s2_err:
         raise s2_err[0]
 
@@ -841,18 +922,26 @@ def build_index(
     # stage 4: meta (needed by postings for block-max) ----------------------
     # min/max doc_id ride the same agg job: they PROVE (or refute) that the
     # id space fits int32, which lets the postings stage narrow doc_id
-    # before its exchange (VERDICT r04 #1a — the build's biggest shuffle)
-    row = docstats.agg(
-        F.count(F.lit(1)).alias("n"), F.avg("doclen").alias("avgdl"),
-        F.min("doc_id").alias("dmin"), F.max("doc_id").alias("dmax"),
-    ).collect()[0]
+    # before its exchange (VERDICT r04 #1a — the build's biggest shuffle).
+    # On fused checkpoints the agg already ran concurrently with stages 2/3
+    # (see the tmeta thread above); the sequential job survives only for
+    # pre-fusion resumes.
+    row = _stage_out.get("meta_row")
+    if row is None:
+        row = docstats.agg(
+            F.count(F.lit(1)).alias("n"), F.avg("doclen").alias("avgdl"),
+            F.min("doc_id").alias("dmin"), F.max("doc_id").alias("dmax"),
+        ).collect()[0]
     n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 0.0)
     doc_id_range = (
         (int(row["dmin"]), int(row["dmax"])) if row["dmin"] is not None else None
     )
-    # term_id = rank of term, so the dictionary size bounds it exactly;
-    # parquet row-count comes from footers (no scan)
-    n_terms = terms.count()
+    # term_id = rank of term, so the dictionary size bounds it exactly; it
+    # fell out of the terms stage's own counts collect (zero extra jobs) —
+    # a resumed terms stage falls back to the footer-metadata count job
+    n_terms = _stage_out.get("n_terms")
+    if n_terms is None:
+        n_terms = terms.count()
 
     # stage 5: postings ------------------------------------------------------
     if not _done(p["postings"]):

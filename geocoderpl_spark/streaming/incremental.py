@@ -100,6 +100,10 @@ class SegmentedIndex:
         self._sources = sources
         self._serve_stats = (n_docs, avgdl_g)
         self._serve_segs = segs
+        # a re-serve() pins a NEW segment set — cached query results from
+        # the previous pin (or from the un-served live-enumeration path)
+        # would silently go stale after appends/compactions (ADVICE r05)
+        self._query_cache = {}
         return self
 
     def segments(self) -> list[InvertedIndex]:
@@ -177,11 +181,16 @@ class SegmentedIndex:
         if self._query_cache is None:
             self._query_cache = {}
         key = (text, int(k))
-        hit = self._query_cache.get(key)
-        if hit is not None:
-            self._query_cache.pop(key)
-            self._query_cache[key] = hit  # LRU refresh
-            return hit
+        # results are cached ONLY while served: the pin is a point-in-time
+        # segment snapshot (serve() clears the cache on re-pin), whereas the
+        # un-served fallback enumerates live segments per call — caching
+        # those would silently survive appends/compactions (ADVICE r05)
+        if self._sources is not None:
+            hit = self._query_cache.get(key)
+            if hit is not None:
+                self._query_cache.pop(key)
+                self._query_cache[key] = hit  # LRU refresh
+                return hit
         rows = None
         if self._sources is not None:
             from ..operators.topk import MAX_BLOCKS_PER_TERM, _hot_df_threshold
@@ -207,9 +216,10 @@ class SegmentedIndex:
                 (r["rank"], r["doc_id"], r["score"])
                 for r in self.topk_pruned(q).orderBy("rank").collect()
             ]
-        self._query_cache[key] = rows
-        while len(self._query_cache) > self.QUERY_CACHE_SIZE:
-            self._query_cache.pop(next(iter(self._query_cache)))
+        if self._sources is not None:
+            self._query_cache[key] = rows
+            while len(self._query_cache) > self.QUERY_CACHE_SIZE:
+                self._query_cache.pop(next(iter(self._query_cache)))
         return rows
 
     # ---- shared query-side machinery --------------------------------------
