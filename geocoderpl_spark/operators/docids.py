@@ -25,6 +25,9 @@ from pyspark.sql import functions as F
 # deployment sizes this to executor memory (rows x ~150 B must fit
 # comfortably next to execution memory).
 BROADCAST_IDS_MAX_ROWS = int(os.environ.get("GRAFT_BROADCAST_IDS_ROWS", "4000000"))
+# below this many rows the full-key broadcast build is cheap enough that the
+# hash-compressed variant's collision-check job is pure scheduling overhead
+HASH_IDS_MIN_ROWS = int(os.environ.get("GRAFT_HASH_IDS_MIN_ROWS", "262144"))
 
 
 def assign_dense_ids(
@@ -61,9 +64,42 @@ def assign_dense_ids(
         # table exceeds autoBroadcastJoinThreshold well before this cap, so
         # without the hint a multi-GB payload (corpus content) would be
         # hash-shuffled AND sorted just to pick up an 8-byte id.
+        #
+        # r6 session 2: the broadcast payload is HASH-COMPRESSED. Measured
+        # at 2M docs on the pinned exec pair, broadcasting the full string
+        # keys cost ~9 s of SERIAL driver time (collect + hash-relation
+        # build + ship of ~200 MB) — at 8 executors that made the broadcast
+        # join-back SLOWER than the sort-merge it replaced (21.5 s vs
+        # 12.8 s noop-isolated). Shipping (xxhash64(keys), id) at 16 B/row
+        # cuts the serial build ~10x while keeping the content un-shuffled.
+        # Correctness is EXACT, not probabilistic: keys are unique (the
+        # ranking guard enforces it), and one tiny parallel job over the
+        # persisted rank table verifies countDistinct(hash) == n_rows —
+        # a bijection between hashes and keys, so the hash equi-join is
+        # provably identical to the key equi-join. Any collision (or an
+        # unverifiable count) falls back to the full-key broadcast.
         total = getattr(ids, "_rank_total", None)
-        rhs = F.broadcast(ids) if total is not None and total <= BROADCAST_IDS_MAX_ROWS else ids
-        out = df.join(rhs, key_cols)
+        if (
+            total is not None
+            and HASH_IDS_MIN_ROWS <= total <= BROADCAST_IDS_MAX_ROWS
+        ):
+            kh = F.xxhash64(*[F.col(c) for c in key_cols])
+            n_hashes = ids.agg(F.countDistinct(kh).alias("n")).collect()[0]["n"]
+            if int(n_hashes) == int(total):
+                compact = ids.select(kh.alias("_graft_kh"), F.col(out_col))
+                out = (
+                    df.withColumn("_graft_kh", kh)
+                    .join(F.broadcast(compact), "_graft_kh")
+                    .drop("_graft_kh")
+                )
+            else:  # 64-bit collision (~n^2/2^64): keep the exact key join
+                out = df.join(F.broadcast(ids), key_cols)
+        elif total is not None and total <= BROADCAST_IDS_MAX_ROWS:
+            # small rank table: the full-key broadcast is already cheap —
+            # not worth the collision-check job's scheduling latency
+            out = df.join(F.broadcast(ids), key_cols)
+        else:
+            out = df.join(ids, key_cols)
         out._dense_ids_cache = ids._dense_ids_cache
         out._rank_total = total
         return out

@@ -386,6 +386,17 @@ def tf_docstats_direct(
         tmp = _os2.path.join(out_dir, f"_tmp-{pid:05d}-{att}.parquet")
         final = _os2.path.join(out_dir, f"part-{pid:05d}-graft.snappy.parquet")
         writer = None
+        # per-batch term partials (r6): a materialized map-side combine for
+        # the terms dictionary — (term, df, cf) per batch, written to the
+        # underscore-hidden ``_termstats`` sidecar during the pass the build
+        # already makes, so build_terms aggregates vocabulary-sized partials
+        # instead of rescanning the full tf checkpoint (guide §2.3
+        # "aggregate before you shuffle"). Partial rows may repeat a term
+        # (per batch, per task) — the Spark-side SUM makes them exact.
+        pdir = _os2.path.join(out_dir, "_termstats")
+        ptmp = _os2.path.join(pdir, f"_tmp-{pid:05d}-{att}.parquet")
+        pfinal = _os2.path.join(pdir, f"part-{pid:05d}-graft.snappy.parquet")
+        pwriter = None
         for rb in batches:
             n = rb.num_rows
             if n == 0:
@@ -438,6 +449,18 @@ def tf_docstats_direct(
                         "tf": agg["count_all"].cast(pa.int64()),
                     }
                 )
+            pt = out.group_by("term").aggregate([("tf", "sum"), ([], "count_all")])
+            partial = pa.table(
+                {
+                    "term": pt["term"],
+                    "df": pt["count_all"].cast(pa.int64()),
+                    "cf": pt["tf_sum"].cast(pa.int64()),
+                }
+            )
+            if pwriter is None:
+                _os2.makedirs(pdir, exist_ok=True)
+                pwriter = pq.ParquetWriter(ptmp, partial.schema)
+            pwriter.write_table(partial)
             sha = pa.array(_sha256_hex(content, n), pa.string())
             out = _attach_sha(out, content, doc_ids, doclen, np, pa, sha=sha)
             if writer is None:
@@ -452,6 +475,9 @@ def tf_docstats_direct(
         if writer is not None:
             writer.close()
             _os2.replace(tmp, final)
+        if pwriter is not None:
+            pwriter.close()
+            _os2.replace(ptmp, pfinal)
 
     fn.meta_cols = list(meta_cols)
     dtypes = {f.name: f.dataType.simpleString() for f in docs.schema}
@@ -474,7 +500,9 @@ def ensure_tf_files(out_dir: str, positional: bool = False) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    if _glob.glob(os.path.join(out_dir, "*.parquet")):
+    # finalized task files only — a crashed attempt's _tmp-* leftover (hidden
+    # from Spark's listing) must not suppress the schema-carrying empty file
+    if _glob.glob(os.path.join(out_dir, "part-*.parquet")):
         return
     fields = [
         pa.field("term", pa.string()),
@@ -569,7 +597,7 @@ def docstats_pandas(
     return docs.select("doc_id", *meta_cols, content_col).mapInPandas(fn, schema=schema)
 
 
-def build_terms(tf: DataFrame) -> DataFrame:
+def build_terms(tf: DataFrame, partials: DataFrame | None = None) -> DataFrame:
     """Term dictionary: (term, term_id, df, cf).
 
     Replaces the reference's single-row vocabulary string (K3,
@@ -585,9 +613,22 @@ def build_terms(tf: DataFrame) -> DataFrame:
     # extra passes over the build's largest relation). Vocabulary-sized, so
     # the cache is metadata-scale; released via `_stats_cache` by the caller
     # (plans/build._unpersist) once the dictionary is written.
-    stats = tf.filter(F.col("term").isNotNull()).groupBy("term").agg(
-        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
-    ).persist()
+    # r6: when the direct tf kernel left its ``_termstats`` partial sidecar
+    # (per-batch (term, df, cf) rows — a materialized map-side combine),
+    # the dictionary aggregates those vocabulary-sized partials instead of
+    # rescanning the full tf checkpoint. Values are identical: per-term
+    # df = sum of per-batch counts, cf = sum of per-batch tf sums (the
+    # coalesce keeps df non-nullable exactly like the count() it replaces;
+    # groups are never empty so the value is unchanged).
+    if partials is not None:
+        stats = partials.groupBy("term").agg(
+            F.coalesce(F.sum("df"), F.lit(0)).cast("long").alias("df"),
+            F.sum("cf").alias("cf"),
+        ).persist()
+    else:
+        stats = tf.filter(F.col("term").isNotNull()).groupBy("term").agg(
+            F.count(F.lit(1)).alias("df"), F.sum("tf").alias("cf")
+        ).persist()
     # term_id = dense rank of the term string, assigned with the same
     # range-partition + prefix-sum technique as doc_ids (no global window —
     # the vocabulary can reach 1e8+ terms on a code corpus).

@@ -48,17 +48,26 @@ def cosine_topk(
     Output: (probe_id, rank, vec_id, cos). Probes broadcast; the big side
     streams — one pass over the embedding table per query batch.
     """
+    # norms are precomputed ONCE per side (r6, guide §1.2 per-task work):
+    # the probe norm on the broadcast side (5 rows, before the exchange) and
+    # the row norm once per embedding row before the nested-loop join — the
+    # join output previously re-folded both norms per (probe x vec) PAIR,
+    # tripling the array math. Same fold expressions in the same order and
+    # the same `norm(v) * norm(p)` product order, so values (and the 6-dp
+    # rounded result) are bit-identical.
     probes = (
         embeddings.filter(F.col(id_col).isin(probe_ids))
         .select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pvec"))
+        .withColumn("pnorm", _norm(F.col("pvec")))
     )
-    joined = embeddings.join(F.broadcast(probes), F.col(id_col) != F.col("probe_id"))
+    rows = embeddings.withColumn("_vnorm", _norm(F.col(vec_col)))
+    joined = rows.join(F.broadcast(probes), F.col(id_col) != F.col("probe_id"))
     scored = joined.select(
         "probe_id",
         id_col,
         F.round(
             _dot(F.col(vec_col), F.col("pvec"))
-            / (_norm(F.col(vec_col)) * _norm(F.col("pvec"))),
+            / (F.col("_vnorm") * F.col("pnorm")),
             COS_DECIMALS,
         ).alias("cos"),
     )
@@ -80,15 +89,23 @@ def cosine_pairs(
     cos) with cos >= threshold, exact. Brute-force self-join — the
     correctness baseline; at scale candidates come from
     :func:`lsh_signatures` buckets first (same verify step)."""
-    a = embeddings.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
-    b = embeddings.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    # norms fold once per embedding row (below the join), not once per pair
+    # (r6); same expressions, same `norm(a) * norm(b)` order — bit-identical
+    a = embeddings.select(
+        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"),
+        _norm(F.col(vec_col)).alias("na"),
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"),
+        _norm(F.col(vec_col)).alias("nb"),
+    )
     pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
     return (
         pairs.select(
             "vec_a",
             "vec_b",
             F.round(
-                _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
                 COS_DECIMALS,
             ).alias("cos"),
         )
@@ -123,8 +140,16 @@ def lsh_cosine_pairs(
         .select("vec_a", "vec_b")
         .distinct()
     )
-    ea = embeddings.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
-    eb = embeddings.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    # norms fold once per embedding row (below the verify joins), not once
+    # per candidate pair (r6) — same expressions/order, bit-identical
+    ea = embeddings.select(
+        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"),
+        _norm(F.col(vec_col)).alias("na"),
+    )
+    eb = embeddings.select(
+        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"),
+        _norm(F.col(vec_col)).alias("nb"),
+    )
     verified = (
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
@@ -132,7 +157,7 @@ def lsh_cosine_pairs(
             "vec_a",
             "vec_b",
             F.round(
-                _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))),
+                _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
                 COS_DECIMALS,
             ).alias("cos"),
         )
@@ -244,14 +269,24 @@ def ivf_assignments(
     nprobe pruning is directory pruning — the same shape as the term-bucket
     and sector prunes.
     """
-    cents = centroid_table(embeddings, n_centroids, id_col, vec_col)
-    scored = embeddings.crossJoin(F.broadcast(cents)).select(
-        id_col,
-        "list_id",
-        (
-            _dot(F.col(vec_col), F.col("cvec"))
-            / (_norm(F.col(vec_col)) * _norm(F.col("cvec")))
-        ).alias("ccos"),
+    # the quantizer is the IVF build's hot loop: one scan x C centroids.
+    # The vector norm folds ONCE per row (not once per (row, centroid)) and
+    # the centroid norm once per centroid on the broadcast side (r6) —
+    # same expressions, same product order, bit-identical assignment.
+    cents = centroid_table(embeddings, n_centroids, id_col, vec_col).withColumn(
+        "cnorm", _norm(F.col("cvec"))
+    )
+    scored = (
+        embeddings.withColumn("_vnorm", _norm(F.col(vec_col)))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            id_col,
+            "list_id",
+            (
+                _dot(F.col(vec_col), F.col("cvec"))
+                / (F.col("_vnorm") * F.col("cnorm"))
+            ).alias("ccos"),
+        )
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("list_id"))
     return (
@@ -296,15 +331,15 @@ def ivf_cosine_topk(
         .filter(F.col("crank") <= n_probe)
         .select("probe_id", "pvec", "list_id")
     )
-    cand = tagged.join(F.broadcast(plists), "list_id").filter(
-        F.col(id_col) != F.col("probe_id")
-    )
+    cand = tagged.withColumn("_vnorm", _norm(F.col(vec_col))).join(
+        F.broadcast(plists.withColumn("pnorm", _norm(F.col("pvec")))), "list_id"
+    ).filter(F.col(id_col) != F.col("probe_id"))
     scored = cand.select(
         "probe_id",
         id_col,
         F.round(
             _dot(F.col(vec_col), F.col("pvec"))
-            / (_norm(F.col(vec_col)) * _norm(F.col("pvec"))),
+            / (F.col("_vnorm") * F.col("pnorm")),
             COS_DECIMALS,
         ).alias("cos"),
     )
@@ -339,18 +374,20 @@ def lsh_cosine_topk(
         .select("probe_id", id_col)
         .distinct()
     )
-    probes = embeddings.filter(F.col(id_col).isin(probe_ids)).select(
-        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pvec")
+    probes = (
+        embeddings.filter(F.col(id_col).isin(probe_ids))
+        .select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pvec"))
+        .withColumn("pnorm", _norm(F.col("pvec")))
     )
     scored = (
-        cand.join(embeddings, id_col)
+        cand.join(embeddings.withColumn("_vnorm", _norm(F.col(vec_col))), id_col)
         .join(F.broadcast(probes), "probe_id")
         .select(
             "probe_id",
             id_col,
             F.round(
                 _dot(F.col(vec_col), F.col("pvec"))
-                / (_norm(F.col(vec_col)) * _norm(F.col("pvec"))),
+                / (F.col("_vnorm") * F.col("pnorm")),
                 COS_DECIMALS,
             ).alias("cos"),
         )

@@ -54,13 +54,19 @@ def _assign_to_centroids(
     so an append whose ids don't disturb the centroid sample produces an
     index identical to a from-scratch build over the union (asserted in
     tests)."""
-    scored = embeddings.crossJoin(F.broadcast(cents)).select(
-        id_col,
-        "list_id",
-        (
-            _dot(F.col(vec_col), F.col("cvec"))
-            / (_norm(F.col(vec_col)) * _norm(F.col("cvec")))
-        ).alias("ccos"),
+    # norms fold once per row / per centroid, not per (row x centroid) pair
+    # (r6) — same expressions and product order, bit-identical assignment
+    scored = (
+        embeddings.withColumn("_vnorm", _norm(F.col(vec_col)))
+        .crossJoin(F.broadcast(cents.withColumn("_cnorm", _norm(F.col("cvec")))))
+        .select(
+            id_col,
+            "list_id",
+            (
+                _dot(F.col(vec_col), F.col("cvec"))
+                / (F.col("_vnorm") * F.col("_cnorm"))
+            ).alias("ccos"),
+        )
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("list_id"))
     return (
@@ -539,7 +545,11 @@ class IvfIndex:
         )
         cand = (
             vecs.filter(F.col("list_id").isin(lists))  # partition-dir prune
-            .join(F.broadcast(plists), "list_id")
+            .withColumn("_vnorm", _norm(F.col(self.vec_col)))
+            .join(
+                F.broadcast(plists.withColumn("_pnorm", _norm(F.col("pvec")))),
+                "list_id",
+            )
             .filter(F.col(self.id_col) != F.col("probe_id"))
         )
         scored = cand.select(
@@ -547,7 +557,7 @@ class IvfIndex:
             self.id_col,
             F.round(
                 _dot(F.col(self.vec_col), F.col("pvec"))
-                / (_norm(F.col(self.vec_col)) * _norm(F.col("pvec"))),
+                / (F.col("_vnorm") * F.col("_pnorm")),
                 COS_DECIMALS,
             ).alias("cos"),
         )

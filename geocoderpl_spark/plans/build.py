@@ -892,7 +892,20 @@ def build_index(
     try:
         if not _done(p["terms"]):
             def s3():
-                t = build_terms(tf)
+                # the direct tf kernel's _termstats sidecar (per-batch term
+                # partials) spares the dictionary a full tf rescan; absent
+                # (classic kernel, resumed pre-r6 checkpoint) -> tf scan
+                import glob as _glob
+
+                # match finalized task files only: a speculative/killed
+                # attempt's _tmp-* leftover must not flip the mode
+                tpart_dir = os.path.join(p["tf"], "_termstats")
+                tpart = (
+                    spark.read.parquet(tpart_dir)
+                    if _glob.glob(os.path.join(tpart_dir, "part-*.parquet"))
+                    else None
+                )
+                t = build_terms(tf, partials=tpart)
                 # term-sorted layout (the range partitioning is already by
                 # term, so this yields globally sorted files): every parquet
                 # file gets a tight term min/max, making prefix-range
@@ -1000,17 +1013,50 @@ def build_index(
         )
 
     # lineage: per-bucket block/posting/term counts --------------------------
-    postings = spark.read.parquet(p["postings"])
-    (
-        postings.groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n_blocks"),
-            F.sum("n").alias("n_postings"),
-            F.countDistinct("term_id").alias("n_terms"),
+    # Derived from the terms dictionary + the manifest footers instead of a
+    # full postings scan (r6, guide §2.4 — don't recompute what a smaller
+    # relation already knows): every dictionary term has df >= 1 posting,
+    # and ALL of a term's blocks land in its hash bucket (the build's
+    # partition key is derived from term_id), so per bucket
+    #   n_terms    = count of dictionary terms hashing there,
+    #   n_postings = sum of those terms' df (block n's partition a term's
+    #                df exactly — blocks are disjoint doc-slices),
+    #   n_blocks   = sum of the manifest's per-file row counts (the same
+    #                parquet footers the manifest write already read).
+    # The postings table — orders of magnitude larger than the vocabulary —
+    # is never rescanned; equivalence to the old direct aggregation is
+    # asserted in tests/test_index.py::test_lineage_counts and the focused
+    # derivation test added this round.
+    from .manifest import load_postings_manifest
+
+    _nb: dict[int, int] = {}
+    for e in load_postings_manifest(out_dir) or []:
+        _nb[int(e["bucket"])] = _nb.get(int(e["bucket"]), 0) + int(e["n_blocks"])
+    if _nb:
+        per_bucket_terms = (
+            terms.select(
+                F.pmod(F.xxhash64(F.col("term_id").cast("long")), F.lit(n_buckets))
+                .cast("int")
+                .alias("bucket"),
+                "df",
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_terms"),
+                F.sum("df").alias("n_postings"),
+            )
         )
-        .write.mode("overwrite")
-        .parquet(p["lineage"])
-    )
+        blocks_df = spark.createDataFrame(
+            sorted(_nb.items()), "bucket int, n_blocks bigint"
+        )
+        lineage_df = blocks_df.join(F.broadcast(per_bucket_terms), "bucket").select(
+            "bucket", "n_blocks", "n_postings", "n_terms"
+        )
+    else:  # zero-doc index: keep the empty-but-typed lineage table
+        lineage_df = spark.createDataFrame(
+            [], "bucket int, n_blocks bigint, n_postings bigint, n_terms bigint"
+        )
+    lineage_df.write.mode("overwrite").parquet(p["lineage"])
     os.makedirs(p["metrics"], exist_ok=True)
     with open(os.path.join(p["metrics"], "metrics.jsonl"), "a") as f:
         for stage, rows, wall_ms, status in metrics:

@@ -217,6 +217,35 @@ def test_lineage_counts(spark, index):
     assert int(lin.n_postings.sum()) == int(post.n.sum())
 
 
+def test_lineage_matches_direct_postings_aggregation(spark, index):
+    """r6: lineage is derived from the terms dictionary + manifest footers
+    (no postings rescan). It must equal, bucket for bucket, the direct
+    aggregation over the written postings it used to be computed from."""
+    lin = (
+        spark.read.parquet(os.path.join(index.root, "lineage"))
+        .toPandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    from pyspark.sql import functions as F
+
+    direct = (
+        index.postings.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum("n").alias("n_postings"),
+            F.countDistinct("term_id").alias("n_terms"),
+        )
+        .toPandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    assert list(lin.bucket) == list(direct.bucket)
+    assert list(lin.n_blocks) == list(direct.n_blocks)
+    assert list(lin.n_postings) == list(direct.n_postings)
+    assert list(lin.n_terms) == list(direct.n_terms)
+
+
 def test_query_cache_serves_repeats_without_spark(spark, index):
     """Single-query serving cache (reference res_coords analog): the second
     identical query must come from the cache, not a new Spark job."""

@@ -541,3 +541,26 @@ def test_rank_keys_rejects_duplicates_keys_only_path(spark):
     got = assign_dense_ids(ok_keys, ["k", "v"]).collect()
     assert sorted(r.doc_id for r in got) == [0, 1]
     assert sorted(got[0].asDict()) == ["doc_id", "k", "v"]  # helper cols dropped
+
+
+def test_hash_compressed_id_joinback_matches_key_join(spark, monkeypatch):
+    """r6: above HASH_IDS_MIN_ROWS the id join-back ships (xxhash64(keys),
+    id) instead of the string keys. The collision check makes it provably
+    identical to the key join — assert the assignment matches the plain
+    path row-for-row, and that payload columns survive."""
+    from geocoderpl_spark.operators import docids
+    from geocoderpl_spark.sources.corpus import synth_corpus
+
+    corpus = synth_corpus(spark, 300)
+    plain = {
+        (r.repo, r.path, r.commit): r.doc_id
+        for r in docids.assign_doc_ids(corpus, ["repo", "path", "commit"], 4)
+        .select("repo", "path", "commit", "doc_id")
+        .collect()
+    }
+    monkeypatch.setattr(docids, "HASH_IDS_MIN_ROWS", 1)
+    hashed_df = docids.assign_doc_ids(corpus, ["repo", "path", "commit"], 4)
+    hashed_rows = hashed_df.collect()
+    assert sorted(hashed_df.columns) == sorted([*corpus.columns, "doc_id"])
+    hashed = {(r.repo, r.path, r.commit): r.doc_id for r in hashed_rows}
+    assert hashed == plain and len(hashed_rows) == 300
